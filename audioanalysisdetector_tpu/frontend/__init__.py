@@ -6,6 +6,26 @@ waveforms come in as ``(..., n_samples)`` arrays, features come out as
 ``(..., n_coeffs, n_frames)`` arrays, and everything jits.
 """
 
+from audioanalysisdetector_tpu.frontend.cepstral import (
+    CepstralConfig,
+    gfcc,
+    int16_quirk,
+    lfcc,
+    pre_emphasis,
+)
+from audioanalysisdetector_tpu.frontend.cqcc import (
+    CQCCConfig,
+    cqcc,
+    cqcc_from_cqt_mag,
+    transpose_cqcc,
+)
+from audioanalysisdetector_tpu.frontend.cqt import (
+    C1_HZ,
+    CQTConfig,
+    cqt,
+    cqt_frequencies,
+    default_n_bins,
+)
 from audioanalysisdetector_tpu.frontend.db import amplitude_to_db, power_to_db
 from audioanalysisdetector_tpu.frontend.dct import dct_ii, dct_ii_matrix
 from audioanalysisdetector_tpu.frontend.mel import (
@@ -30,8 +50,25 @@ from audioanalysisdetector_tpu.frontend.stft import (
     power_spectrogram,
     stft,
 )
+from audioanalysisdetector_tpu.frontend.wpt import wavelet_packet_leaves, wpt_energies
 
 __all__ = [
+    "C1_HZ",
+    "CQCCConfig",
+    "CQTConfig",
+    "CepstralConfig",
+    "cqcc",
+    "cqcc_from_cqt_mag",
+    "cqt",
+    "cqt_frequencies",
+    "default_n_bins",
+    "gfcc",
+    "int16_quirk",
+    "lfcc",
+    "pre_emphasis",
+    "transpose_cqcc",
+    "wavelet_packet_leaves",
+    "wpt_energies",
     "MelConfig",
     "MFCCConfig",
     "add_deltas",
