@@ -1,0 +1,247 @@
+"""Diagonal-covariance GMM-UBM with MAP adaptation — pure JAX.
+
+TPU-native replacement for the reference's sklearn-based GMM subsystem
+(reference/ASV_dl_func.py:1132-1203): a 128-component diagonal
+``GaussianMixture`` UBM fit by EM on all training CQCC frames, per-class
+models derived by MAP adaptation (relevance factor 10), and scoring as the
+mean per-frame log-likelihood ratio.
+
+Design: densities are evaluated with the quadratic expansion
+``(x - mu)^2 / var = x^2 (1/var) - 2 x (mu/var) + mu^2/var`` so the hot path
+is two GEMMs per E-step — exactly what the MXU wants — and EM sufficient
+statistics accumulate in chunks (``lax.map``) so the ``(N, K)``
+responsibility matrix never materializes for multi-million-frame fits.
+
+The reference's UBM takes 478.85 s on CPU for ~1.8 M frames
+(ASV_deep_learning.ipynb cell 25); this implementation is the bench target
+replacing it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+@struct.dataclass
+class DiagGMM:
+    """weights (K,), means (K, D), variances (K, D) — a jit-safe pytree."""
+
+    weights: jnp.ndarray
+    means: jnp.ndarray
+    variances: jnp.ndarray
+
+    @property
+    def n_components(self) -> int:
+        return self.means.shape[0]
+
+
+def component_log_prob(x: jnp.ndarray, gmm: DiagGMM) -> jnp.ndarray:
+    """Per-component Gaussian log-density: (..., D) -> (..., K)."""
+    inv_var = 1.0 / gmm.variances  # (K, D)
+    quad = (
+        (x * x) @ inv_var.T
+        - 2.0 * (x @ (gmm.means * inv_var).T)
+        + jnp.sum(gmm.means * gmm.means * inv_var, axis=-1)
+    )
+    log_det = jnp.sum(jnp.log(gmm.variances), axis=-1)  # (K,)
+    d = x.shape[-1]
+    return -0.5 * (d * _LOG2PI + log_det + quad)
+
+
+def log_weighted(x: jnp.ndarray, gmm: DiagGMM) -> jnp.ndarray:
+    return component_log_prob(x, gmm) + jnp.log(gmm.weights)
+
+
+def score_samples(x: jnp.ndarray, gmm: DiagGMM) -> jnp.ndarray:
+    """Per-frame log-likelihood: (..., D) -> (...)."""
+    return jax.scipy.special.logsumexp(log_weighted(x, gmm), axis=-1)
+
+
+def score(x: jnp.ndarray, gmm: DiagGMM) -> jnp.ndarray:
+    """Mean per-frame log-likelihood (sklearn ``.score`` semantics)."""
+    return jnp.mean(score_samples(x, gmm), axis=-1)
+
+
+def predict_proba(x: jnp.ndarray, gmm: DiagGMM) -> jnp.ndarray:
+    return jax.nn.softmax(log_weighted(x, gmm), axis=-1)
+
+
+def compute_llr(x: jnp.ndarray, gmm1: DiagGMM, gmm2: DiagGMM) -> jnp.ndarray:
+    """Mean-LL ratio, the reference's ``compute_llr``
+    (reference/ASV_dl_func.py:1200-1203): (..., T, D) -> (...)."""
+    return score(x, gmm1) - score(x, gmm2)
+
+
+def masked_llr(
+    x: jnp.ndarray, mask: jnp.ndarray, gmm1: DiagGMM, gmm2: DiagGMM
+) -> jnp.ndarray:
+    """LLR over valid frames only: x (..., T, D), mask (..., T) boolean.
+
+    Matches the reference scorer's padding semantics
+    (reference/ASV_dl_func.py:1486-1489) without any host round-trip.
+    """
+    diff = score_samples(x, gmm1) - score_samples(x, gmm2)  # (..., T)
+    m = mask.astype(diff.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+    return jnp.sum(diff * m, axis=-1) / denom
+
+
+# ---------------------------------------------------------------- EM fitting
+
+
+def _estep_stats(x_chunk: jnp.ndarray, w_chunk: jnp.ndarray, gmm: DiagGMM):
+    """Weighted sufficient statistics of one chunk. w_chunk masks padding."""
+    logr = log_weighted(x_chunk, gmm)
+    log_norm = jax.scipy.special.logsumexp(logr, axis=-1, keepdims=True)
+    resp = jnp.exp(logr - log_norm) * w_chunk[:, None]
+    nk = jnp.sum(resp, axis=0)  # (K,)
+    fk = resp.T @ x_chunk  # (K, D)
+    sk = resp.T @ (x_chunk * x_chunk)  # (K, D)
+    ll = jnp.sum(log_norm[:, 0] * w_chunk)
+    return nk, fk, sk, ll
+
+
+def _pad_to_chunks(x: np.ndarray, chunk: int) -> tuple[np.ndarray, np.ndarray]:
+    n = x.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    xp = np.pad(x, ((0, pad), (0, 0)))
+    w = np.concatenate([np.ones(n), np.zeros(pad)]).astype(x.dtype)
+    return xp.reshape(n_chunks, chunk, -1), w.reshape(n_chunks, chunk)
+
+
+@partial(jax.jit, static_argnames=("reg_covar",))
+def _em_step(xc: jnp.ndarray, wc: jnp.ndarray, gmm: DiagGMM, reg_covar: float = 1e-6):
+    def body(carry, chunk):
+        nk, fk, sk, ll = carry
+        x_c, w_c = chunk
+        dnk, dfk, dsk, dll = _estep_stats(x_c, w_c, gmm)
+        return (nk + dnk, fk + dfk, sk + dsk, ll + dll), None
+
+    k, d = gmm.means.shape
+    init = (
+        jnp.zeros(k, xc.dtype),
+        jnp.zeros((k, d), xc.dtype),
+        jnp.zeros((k, d), xc.dtype),
+        jnp.zeros((), xc.dtype),
+    )
+    (nk, fk, sk, ll), _ = jax.lax.scan(body, init, (xc, wc))
+    n_total = jnp.sum(wc)
+    nk_safe = nk + 10.0 * jnp.finfo(xc.dtype).eps
+    means = fk / nk_safe[:, None]
+    variances = sk / nk_safe[:, None] - means * means + reg_covar
+    weights = nk / n_total
+    return DiagGMM(weights=weights, means=means, variances=variances), ll / n_total
+
+
+def _kmeans_init(x: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """k-means++ seeding + a few Lloyd iterations (host-side, on a subsample).
+
+    sklearn's GaussianMixture defaults to k-means initialization; a subsample
+    suffices to place initial responsibilities.
+    """
+    rng = np.random.default_rng(seed)
+    sub = x[rng.choice(x.shape[0], min(x.shape[0], 100_000), replace=False)]
+    centers = [sub[rng.integers(len(sub))]]
+    d2 = np.full(len(sub), np.inf)
+    for _ in range(1, k):
+        d2 = np.minimum(d2, ((sub - centers[-1]) ** 2).sum(-1))
+        probs = d2 / d2.sum()
+        centers.append(sub[rng.choice(len(sub), p=probs)])
+    centers = np.stack(centers)
+    for _ in range(iters):
+        assign = ((sub[:, None, :] - centers[None]) ** 2).sum(-1).argmin(1)
+        for j in range(k):
+            pts = sub[assign == j]
+            if len(pts):
+                centers[j] = pts.mean(0)
+    return centers
+
+
+def fit_em(
+    x: np.ndarray,
+    n_components: int = 128,
+    *,
+    max_iter: int = 100,
+    tol: float = 1e-3,
+    reg_covar: float = 1e-6,
+    seed: int = 42,
+    chunk: int = 65536,
+    verbose: bool = False,
+) -> DiagGMM:
+    """Fit a diagonal GMM by EM (sklearn-equivalent semantics, on device).
+
+    ``tol`` is on the change of mean per-frame log-likelihood, like sklearn's
+    ``lower_bound_`` convergence test.
+    """
+    x = np.asarray(x, dtype=np.float32)
+    centers = _kmeans_init(x, n_components, seed)
+    var0 = np.full((n_components, x.shape[1]), x.var(axis=0) + reg_covar, dtype=np.float32)
+    gmm = DiagGMM(
+        weights=jnp.full((n_components,), 1.0 / n_components, jnp.float32),
+        means=jnp.asarray(centers, jnp.float32),
+        variances=jnp.asarray(var0),
+    )
+    xc_np, wc_np = _pad_to_chunks(x, chunk)
+    xc, wc = jnp.asarray(xc_np), jnp.asarray(wc_np)
+    prev_ll = -np.inf
+    for it in range(max_iter):
+        gmm, ll = _em_step(xc, wc, gmm, reg_covar=reg_covar)
+        ll = float(ll)
+        if verbose:
+            print(f"EM iter {it}: mean LL {ll:.6f}")
+        if abs(ll - prev_ll) < tol:
+            break
+        prev_ll = ll
+    return gmm
+
+
+def map_adapt(
+    ubm: DiagGMM,
+    x: jnp.ndarray,
+    *,
+    relevance_factor: float = 10.0,
+    var_floor: float = 1e-6,
+) -> DiagGMM:
+    """MAP adaptation with the reference's exact update equations
+    (reference/ASV_dl_func.py:1172-1197).
+
+    The reference loops 20 iterations, but every iteration recomputes
+    responsibilities from the *UBM* (not the adapted model), so the update is
+    idempotent — one evaluation yields the reference's fixed point exactly.
+    """
+    resp = predict_proba(x, ubm)  # (N, K)
+    nk = jnp.sum(resp, axis=0) + 1e-6
+    fk = resp.T @ x
+    sk = resp.T @ (x * x)
+    alpha = nk / (nk + relevance_factor)
+    a = alpha[:, None]
+    new_means = a * (fk / nk[:, None]) + (1.0 - a) * ubm.means
+    new_vars = a * (sk / nk[:, None] - new_means**2) + (1.0 - a) * ubm.variances
+    new_vars = jnp.maximum(new_vars, var_floor)
+    new_weights = alpha * (nk / jnp.sum(nk)) + (1.0 - alpha) * ubm.weights
+    new_weights = new_weights / jnp.sum(new_weights)
+    return DiagGMM(weights=new_weights, means=new_means, variances=new_vars)
+
+
+def to_numpy(gmm: DiagGMM) -> dict[str, np.ndarray]:
+    return {
+        "weights": np.asarray(gmm.weights),
+        "means": np.asarray(gmm.means),
+        "variances": np.asarray(gmm.variances),
+    }
+
+
+def from_numpy(d: dict[str, np.ndarray]) -> DiagGMM:
+    return DiagGMM(
+        weights=jnp.asarray(d["weights"], jnp.float32),
+        means=jnp.asarray(d["means"], jnp.float32),
+        variances=jnp.asarray(d["variances"], jnp.float32),
+    )
