@@ -36,13 +36,15 @@ class CNNBiLSTMHybrid(nn.Module):
     conv_dropout: float = 0.3
     fixed_attention: bool = False
     logits: bool = False  # True: return pre-sigmoid logits (stable BCE)
+    bn_axis_name: str | None = None  # set to the mesh axis for sync-BN under shard_map
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         # x: (B, 19, 63) — sequence axis 19 (cepstra), channels 63 (frames)
         h = nn.Conv(features=64, kernel_size=(3,), padding=((1, 1),), name="conv")(x)
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn",
+            axis_name=self.bn_axis_name,
         )(h)
         h = nn.relu(h)
         h = nn.max_pool(h, window_shape=(2,), strides=(2,))  # (B, 9, 64)

@@ -1,0 +1,54 @@
+"""Device-mesh utilities — the framework's parallelism substrate.
+
+The reference has no distributed backend at all (SURVEY.md §2.6); this
+module is where the TPU build makes parallelism first-class. The models here
+are small (≤ a few M params), so the right decomposition is pure data
+parallelism over ICI: params replicated, batch sharded, ``pmean`` gradients.
+The mesh abstraction still exposes extra axes so larger variants can add
+model axes without touching call sites.
+
+Multi-host: ``initialize_distributed()`` wires ``jax.distributed`` over DCN
+when launched on a pod slice; on a single host it is a no-op.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(n_devices: int | None = None, *, axis: str = "data") -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"requested {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(dp: int, mp: int, *, axes: tuple[str, str] = ("data", "model")) -> Mesh:
+    """(dp, mp) mesh for experiments that add a model axis."""
+    devices = jax.devices()
+    if dp * mp > len(devices):
+        raise ValueError(f"mesh {dp}x{mp} exceeds {len(devices)} devices")
+    grid = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(grid, axes)
+
+
+def initialize_distributed() -> None:
+    """Multi-host bring-up over DCN (no-op when single-process)."""
+    if jax.process_count() > 1:
+        return  # already initialized by the launcher
+    try:
+        jax.distributed.initialize()
+    except (RuntimeError, ValueError):
+        pass  # single-host / no coordinator configured
+
+
+def local_batch_size(global_batch: int, mesh: Mesh, *, axis: str = "data") -> int:
+    n = mesh.shape[axis]
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by {n} devices")
+    return global_batch // n

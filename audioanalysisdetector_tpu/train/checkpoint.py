@@ -1,0 +1,68 @@
+"""Checkpointing: save/restore full train state with resume support.
+
+The reference only ever *saves* (best/worst state dicts, pickles —
+reference/ASV_dl_func.py:995-998, :1332-1338) and cannot resume mid-run.
+Here checkpoints carry params, batch_stats, optimizer state and step, so
+training resumes exactly. Format: flax msgpack for the pytree + a JSON
+sidecar for metadata (host-portable, no pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Any, *, metadata: dict | None = None) -> None:
+    """Serialize a TrainState (or any pytree) to ``path`` (.msgpack)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "step": _to_host(state.step) if hasattr(state, "step") else np.int32(0),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(getattr(state, "batch_stats", {})),
+        "opt_state": _to_host(getattr(state, "opt_state", {})),
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    if metadata is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(metadata, f, indent=2, default=float)
+
+
+def restore_checkpoint(path: str, state: Any) -> Any:
+    """Restore into a template TrainState (shapes/treedef must match)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {
+        "step": np.asarray(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    payload = serialization.from_bytes(template, data)
+    return state.replace(
+        step=payload["step"],
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=payload["opt_state"],
+    )
+
+
+def save_params(path: str, params: Any) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(_to_host(params)))
+
+
+def restore_params(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return serialization.from_bytes(_to_host(template), f.read())

@@ -1,0 +1,275 @@
+"""Training loops: the generic epoch driver and the BiLSTM flagship pipeline.
+
+TPU-native counterparts of ``train_loop`` (reference/ASV_dl_func.py:751-829)
+and ``BiLSTM_model`` (reference/ASV_dl_func.py:1230-1424): per-epoch
+train/val passes over jitted steps, best/worst checkpoint tracking by val
+loss, txt+CSV+JSON logging and loss/accuracy plots per run directory, final
+accuracy/F1/EER on the best state.
+
+Data enters as numpy arrays; batches stream host->device (sharded when a
+mesh is given). Fixed batch shapes: the tail partial batch is padded and
+masked out of the loss via example weighting... for simplicity the loops
+drop to the reference's behavior (`drop_last=False`) by padding the last
+batch with repeated rows and correcting metric averaging by true counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import jax
+import numpy as np
+
+from audioanalysisdetector_tpu.train import metrics as M
+from audioanalysisdetector_tpu.train.checkpoint import save_checkpoint
+from audioanalysisdetector_tpu.train.losses import get_loss
+from audioanalysisdetector_tpu.train.optimizers import make_optimizer
+from audioanalysisdetector_tpu.train.state import TrainState
+from audioanalysisdetector_tpu.train.steps import make_eval_step, make_train_step
+
+
+def batch_iter(
+    x: np.ndarray,
+    y: np.ndarray,
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int = 0,
+    pad_tail: bool = True,
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield (x_batch, y_batch, true_count); tail batch padded to full size."""
+    n = len(y)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        true = len(sel)
+        if true < batch_size and pad_tail:
+            sel = np.concatenate([sel, idx[: batch_size - true]])
+        yield x[sel], y[sel], true
+
+
+@dataclass
+class EpochLog:
+    epoch: int
+    train_loss: float
+    train_acc: float
+    val_loss: float
+    val_acc: float
+    seconds: float
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    best_state: TrainState
+    logs: list[EpochLog] = field(default_factory=list)
+    best_epoch: int = -1
+
+
+def fit(
+    state: TrainState,
+    train_data: tuple[np.ndarray, np.ndarray],
+    val_data: tuple[np.ndarray, np.ndarray],
+    *,
+    loss_name: str = "CrossEntropyLoss",
+    num_epochs: int = 10,
+    batch_size: int = 16,
+    seed: int = 0,
+    run_dir: str | None = None,
+    has_batch_stats: bool = True,
+    binary_head: bool = False,
+    step_fn: Callable | None = None,
+    verbose: bool = False,
+    plots: bool = True,
+) -> FitResult:
+    """Generic epoch driver (the reference ``train_loop`` contract)."""
+    loss_fn = get_loss(loss_name)
+    step = step_fn or jax.jit(
+        make_train_step(loss_fn, has_batch_stats=has_batch_stats, binary_head=binary_head)
+    )
+    eval_step = jax.jit(
+        make_eval_step(loss_fn, has_batch_stats=has_batch_stats, binary_head=binary_head)
+    )
+    rng = jax.random.PRNGKey(seed)
+
+    logs: list[EpochLog] = []
+    best_val = float("inf")
+    worst_val = -float("inf")
+    best_state = state
+    best_epoch = -1
+    csv_rows = ["epoch,train_loss,train_acc,val_loss,val_acc,seconds"]
+
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        tr_loss = tr_acc = tr_n = 0.0
+        for xb, yb, true in batch_iter(*train_data, batch_size, shuffle=True, seed=seed + epoch):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, xb, yb, sub)
+            tr_loss += float(m["loss"]) * true
+            tr_acc += float(m["accuracy"]) * true
+            tr_n += true
+
+        va_loss = va_acc = va_n = 0.0
+        for xb, yb, true in batch_iter(*val_data, batch_size, shuffle=False):
+            m = eval_step(state, xb, yb)
+            va_loss += float(m["loss"]) * true
+            va_acc += float(np.mean(np.asarray(m["preds"])[:true] == yb[:true])) * true
+            va_n += true
+
+        row = EpochLog(
+            epoch=epoch,
+            train_loss=tr_loss / max(tr_n, 1),
+            train_acc=tr_acc / max(tr_n, 1),
+            val_loss=va_loss / max(va_n, 1),
+            val_acc=va_acc / max(va_n, 1),
+            seconds=time.time() - t0,
+        )
+        logs.append(row)
+        csv_rows.append(
+            f"{row.epoch},{row.train_loss:.6f},{row.train_acc:.6f},"
+            f"{row.val_loss:.6f},{row.val_acc:.6f},{row.seconds:.3f}"
+        )
+        if verbose:
+            print(
+                f"epoch {epoch}: train loss {row.train_loss:.4f} acc {row.train_acc:.4f}"
+                f" | val loss {row.val_loss:.4f} acc {row.val_acc:.4f} ({row.seconds:.1f}s)"
+            )
+
+        if row.val_loss < best_val:
+            best_val = row.val_loss
+            best_state = state
+            best_epoch = epoch
+            if run_dir:
+                save_checkpoint(
+                    os.path.join(run_dir, "best_model.msgpack"), state,
+                    metadata={"epoch": epoch, "val_loss": row.val_loss},
+                )
+        if row.val_loss > worst_val:
+            worst_val = row.val_loss
+            if run_dir:
+                save_checkpoint(
+                    os.path.join(run_dir, "worst_model.msgpack"), state,
+                    metadata={"epoch": epoch, "val_loss": row.val_loss},
+                )
+
+    if run_dir:
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "training_log.csv"), "w") as f:
+            f.write("\n".join(csv_rows) + "\n")
+        with open(os.path.join(run_dir, "logs.json"), "w") as f:
+            json.dump([row.__dict__ for row in logs], f, indent=2)
+        save_checkpoint(os.path.join(run_dir, "final_model.msgpack"), state)
+        if plots:
+            _save_plots(logs, run_dir)
+
+    return FitResult(state=state, best_state=best_state, logs=logs, best_epoch=best_epoch)
+
+
+def _save_plots(logs: list[EpochLog], run_dir: str) -> None:
+    """Loss/accuracy curves, the reference's per-run PNGs
+    (reference/ASV_dl_func.py:1363-1382)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    epochs = [l.epoch for l in logs]
+    for what, fname in (("loss", "loss_curve.png"), ("acc", "accuracy_curve.png")):
+        fig, ax = plt.subplots(figsize=(7, 4))
+        ax.plot(epochs, [getattr(l, f"train_{what}") for l in logs], label="train")
+        ax.plot(epochs, [getattr(l, f"val_{what}") for l in logs], label="val")
+        ax.set_xlabel("epoch")
+        ax.set_ylabel(what)
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(run_dir, fname), dpi=100)
+        plt.close(fig)
+
+
+def evaluate(
+    state: TrainState,
+    data: tuple[np.ndarray, np.ndarray],
+    *,
+    loss_name: str = "CrossEntropyLoss",
+    batch_size: int = 256,
+    has_batch_stats: bool = True,
+    binary_head: bool = False,
+) -> dict[str, float]:
+    """Final metrics on a dataset: accuracy, F1, EER (+ mean loss)."""
+    eval_step = jax.jit(
+        make_eval_step(get_loss(loss_name), has_batch_stats=has_batch_stats, binary_head=binary_head)
+    )
+    preds, scores, losses, counts = [], [], [], []
+    for xb, yb, true in batch_iter(*data, batch_size, shuffle=False):
+        m = eval_step(state, xb, yb)
+        preds.append(np.asarray(m["preds"])[:true])
+        scores.append(np.asarray(m["scores"])[:true])
+        losses.append(float(m["loss"]) * true)
+        counts.append(true)
+    y_true = data[1]
+    y_pred = np.concatenate(preds)
+    y_score = np.concatenate(scores)
+    out = M.model_result_metrics(y_true, y_pred, y_score)
+    out["loss"] = float(np.sum(losses) / np.sum(counts))
+    return out
+
+
+def bilstm_pipeline(
+    train_data: tuple[np.ndarray, np.ndarray],
+    test_data: tuple[np.ndarray, np.ndarray],
+    *,
+    num_epochs: int = 100,
+    criterion_name: str = "CrossEntropyLoss",
+    optimizer_name: str = "Adam",
+    lr: float = 1e-4,
+    batch_size: int = 16,
+    hidden: int = 128,
+    model_dir: str = "GMM-BiLSTM",
+    seed: int = 0,
+    verbose: bool = False,
+) -> tuple[FitResult, dict[str, float]]:
+    """The flagship trainer (reference ``BiLSTM_model`` contract):
+    config-named run dir, best/worst checkpoints, CSV/JSON logs + plots,
+    final accuracy/F1/EER of the best state.
+
+    ``train_data[0]``: time-major CQCC ``(N, T, F)`` float32; labels int.
+    """
+    from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
+
+    config_name = f"{optimizer_name}_{criterion_name}_lr{lr}".replace(".", "_")
+    run_dir = os.path.join(model_dir, config_name)
+    os.makedirs(run_dir, exist_ok=True)
+
+    x_train, y_train = train_data
+    model = BiLSTMClassifier(hidden=hidden)
+    variables = model.init(
+        jax.random.PRNGKey(seed), jax.numpy.asarray(x_train[:1]), train=False
+    )
+    tx = make_optimizer(optimizer_name, lr)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx, batch_stats={}
+    )
+    result = fit(
+        state,
+        train_data,
+        test_data,
+        loss_name=criterion_name,
+        num_epochs=num_epochs,
+        batch_size=batch_size,
+        seed=seed,
+        run_dir=run_dir,
+        has_batch_stats=False,
+        verbose=verbose,
+    )
+    final = evaluate(
+        result.best_state, test_data, loss_name=criterion_name, has_batch_stats=False
+    )
+    with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+        json.dump(final, f, indent=2)
+    return result, final

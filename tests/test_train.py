@@ -1,0 +1,175 @@
+"""Training subsystem tests: metrics vs sklearn, steps, DP parity, loops."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from sklearn.metrics import accuracy_score, f1_score, roc_curve
+
+from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+from audioanalysisdetector_tpu.parallel.mesh import make_mesh
+from audioanalysisdetector_tpu.train import (
+    TrainState,
+    accuracy,
+    bilstm_pipeline,
+    eer,
+    eer_jnp,
+    evaluate,
+    f1_binary,
+    fit,
+    get_loss,
+    make_dp_train_step,
+    make_optimizer,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_metrics_match_sklearn(rng):
+    y_true = rng.integers(0, 2, 500)
+    y_pred = rng.integers(0, 2, 500)
+    scores = rng.random(500)
+    assert accuracy(y_true, y_pred) == accuracy_score(y_true, y_pred)
+    assert np.isclose(f1_binary(y_true, y_pred), f1_score(y_true, y_pred))
+    fpr, tpr, _ = roc_curve(y_true, scores, pos_label=1)
+    fnr = 1 - tpr
+    ref_eer = fpr[np.nanargmin(np.abs(fnr - fpr))]  # reference/ASV_dl_func.py:1503-1506
+    assert np.isclose(eer(y_true, scores), ref_eer)
+
+
+def test_eer_jnp_matches_host(rng):
+    y = rng.integers(0, 2, 300)
+    s = rng.random(300)
+    host = eer(y, s)
+    dev = float(eer_jnp(jnp.asarray(y), jnp.asarray(s)))
+    assert abs(host - dev) < 2e-2  # threshold-set granularity differs slightly
+
+
+def test_eer_separable():
+    y = np.array([0] * 50 + [1] * 50)
+    s = np.concatenate([np.random.default_rng(0).random(50) * 0.4, 0.6 + np.random.default_rng(1).random(50) * 0.4])
+    assert eer(y, s) == 0.0
+
+
+def _toy_data(rng, n=128):
+    x = rng.standard_normal((n, 19, 63)).astype(np.float32)
+    y = (x.mean(axis=(1, 2)) > 0).astype(np.int64)
+    x[y == 1] += 0.5  # make the classes separable
+    return x, y
+
+
+def _make_state(model, x, seed=0, lr=1e-3):
+    variables = model.init(jax.random.PRNGKey(seed), jnp.asarray(x[:2]), train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer("Adam", lr),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+
+def test_train_step_reduces_loss(rng):
+    x, y = _toy_data(rng)
+    model = CNNBiLSTMHybrid(fixed_attention=True, logits=True)
+    state = _make_state(model, x)
+    step = jax.jit(make_train_step(get_loss("BCELoss"), has_batch_stats=True, binary_head=True))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, m = step(state, x, y, sub)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[::10]
+
+
+def test_dp_step_matches_single_device(rng):
+    """Data-parallel (8 virtual CPU devices) must match single-device math."""
+    x, y = _toy_data(rng, n=64)
+    model = CNNBiLSTMHybrid(fixed_attention=True, logits=True, conv_dropout=0.0, dropout_rate=0.0)
+    state_a = _make_state(model, x)
+    # DP twin with sync-BN over the mesh axis so normalization is global
+    model_dp = CNNBiLSTMHybrid(
+        fixed_attention=True, logits=True, conv_dropout=0.0, dropout_rate=0.0,
+        bn_axis_name="data",
+    )
+    state_b = jax.tree_util.tree_map(lambda v: v.copy(), state_a)
+    state_b = state_b.replace(apply_fn=model_dp.apply)
+
+    single = jax.jit(make_train_step(get_loss("BCELoss"), binary_head=True))
+    mesh = make_mesh(8)
+    dp = make_dp_train_step(get_loss("BCELoss"), mesh, binary_head=True, donate=False)
+
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        state_a, ma = single(state_a, x, y, sub)
+        state_b, mb = dp(state_b, x, y, sub)
+    # dropout disabled -> identical math up to reduction order (Adam's
+    # 1/sqrt(v) amplifies float noise on near-zero-gradient params, hence atol)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]), rtol=1e-4)
+    for pa, pb in zip(
+        jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)
+    ):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-2, atol=1e-4)
+
+
+def test_fit_and_evaluate_end_to_end(rng, tmp_path):
+    x, y = _toy_data(rng, n=96)
+    model = CNNBiLSTMHybrid(fixed_attention=True, logits=True)
+    state = _make_state(model, x)
+    run_dir = str(tmp_path / "run")
+    result = fit(
+        state, (x, y), (x, y),
+        loss_name="BCELoss", num_epochs=3, batch_size=32,
+        run_dir=run_dir, binary_head=True, plots=False,
+    )
+    assert len(result.logs) == 3
+    assert os.path.exists(os.path.join(run_dir, "best_model.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "training_log.csv"))
+    m = evaluate(result.best_state, (x, y), loss_name="BCELoss", binary_head=True)
+    assert set(m) == {"accuracy", "f1", "eer", "loss"}
+    assert m["accuracy"] > 0.5
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    x, y = _toy_data(rng, n=16)
+    model = CNNBiLSTMHybrid(fixed_attention=True, logits=True)
+    state = _make_state(model, x)
+    step = jax.jit(make_train_step(get_loss("BCELoss"), binary_head=True))
+    state, _ = step(state, x, y, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, state, metadata={"note": "test"})
+
+    fresh = _make_state(model, x)
+    restored = restore_checkpoint(path, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # resume: both must produce identical next-step params
+    s1, _ = step(state, x, y, jax.random.PRNGKey(9))
+    s2, _ = step(restored, x, y, jax.random.PRNGKey(9))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_bilstm_pipeline_smoke(rng, tmp_path):
+    n = 48
+    x = rng.standard_normal((n, 63, 19)).astype(np.float32)
+    y = (x.mean(axis=(1, 2)) > 0).astype(np.int64)
+    result, final = bilstm_pipeline(
+        (x, y), (x, y),
+        num_epochs=2, optimizer_name="Adam", criterion_name="CrossEntropyLoss",
+        lr=1e-3, batch_size=16, hidden=16, model_dir=str(tmp_path / "GMM-BiLSTM"),
+    )
+    assert {"accuracy", "f1", "eer", "loss"} <= set(final)
+    cfg_dir = tmp_path / "GMM-BiLSTM" / "Adam_CrossEntropyLoss_lr0_001"
+    assert (cfg_dir / "best_model.msgpack").exists()
+    assert (cfg_dir / "worst_model.msgpack").exists()
+    assert (cfg_dir / "metrics.json").exists()
