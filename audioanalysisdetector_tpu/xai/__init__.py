@@ -1,0 +1,44 @@
+"""XAI subsystem (L6): gradient + perturbation attribution over jitted graphs."""
+
+from audioanalysisdetector_tpu.xai.attribution import (
+    bilstm_heatmaps,
+    grad_cam,
+    integrated_gradients,
+    occlusion,
+    saliency,
+)
+from audioanalysisdetector_tpu.xai.compare import (
+    compare_gmm_bilstm,
+    extract_top_intervals_global,
+    plot_heatmaps,
+)
+from audioanalysisdetector_tpu.xai.lime import (
+    fit_surrogate,
+    kernel_weights,
+    lime_dataset,
+    lime_single_instance,
+    perturb_random_features_mean,
+    perturb_segments,
+    signal_segmentation,
+)
+from audioanalysisdetector_tpu.xai.shap_gmm import gmm_shap, time_windows
+
+__all__ = [
+    "bilstm_heatmaps",
+    "compare_gmm_bilstm",
+    "extract_top_intervals_global",
+    "fit_surrogate",
+    "gmm_shap",
+    "grad_cam",
+    "integrated_gradients",
+    "kernel_weights",
+    "lime_dataset",
+    "lime_single_instance",
+    "occlusion",
+    "perturb_random_features_mean",
+    "perturb_segments",
+    "plot_heatmaps",
+    "saliency",
+    "signal_segmentation",
+    "time_windows",
+]
