@@ -1,0 +1,331 @@
+"""Command-line entry points (L7) — the reference has none (notebooks only).
+
+Subcommands map onto BASELINE.json's five runnable configs:
+
+  score       #1 log-mel + CNN-BiLSTM bonafide/spoof scoring over WAVs
+  extract     #2 feature extraction (mfcc/cqcc/lfcc/gtcc/wpt/mel) to .npz
+  augment     #3 on-device augmentation demo: writes augmented WAVs
+  train       #4 CNN-BiLSTM training run (data-parallel over local devices)
+  xai         #5 saliency + Grad-CAM heatmap PNGs for a WAV
+  train-fused    GMM(+)BiLSTM flagship system: CQCC -> BiLSTM + GMM-UBM -> fused EER
+  gridsearch     classical SVM/XGB sweep over expanded scalar features
+
+All paths accept a directory of WAVs or a glob. Everything is CPU-runnable
+(slow) and TPU-native (fast) with the same code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globlib
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _collect_wavs(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(globlib.glob(os.path.join(path, "**", "*.wav"), recursive=True))
+    return sorted(globlib.glob(path))
+
+
+def _load_batch(paths: list[str], seconds: float, sr: int) -> np.ndarray:
+    from audioanalysisdetector_tpu.io.audio import load_audio
+
+    n = int(seconds * sr)
+    out = np.zeros((len(paths), n), dtype=np.float32)
+    for i, p in enumerate(paths):
+        y, _ = load_audio(p, sr=sr)
+        out[i, : min(len(y), n)] = y[:n]
+    return out
+
+
+def cmd_score(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig
+    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+    from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
+    from audioanalysisdetector_tpu.train.checkpoint import restore_params
+
+    paths = _collect_wavs(args.audio)
+    if not paths:
+        print(f"no WAV files under {args.audio}", file=sys.stderr)
+        return 1
+    wav = _load_batch(paths, args.seconds, args.sr)
+    mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
+    model = CNNBiLSTMHybrid()
+    t_frames = 1 + int(args.seconds * args.sr) // mel_cfg.hop_length
+    feats0 = jnp.zeros((1, args.n_mels, t_frames))
+    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+    if args.checkpoint:
+        variables = {
+            "params": restore_params(args.checkpoint, variables["params"]),
+            "batch_stats": variables["batch_stats"],
+        }
+    scorer = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
+    scores = np.asarray(scorer(jnp.asarray(wav)))
+    for p, s in zip(paths, scores):
+        print(json.dumps({"file": p, "spoof_score": float(s), "label": int(s > 0.5)}))
+    return 0
+
+
+def cmd_extract(args) -> int:
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.data.pipeline import default_extractors
+
+    paths = _collect_wavs(args.audio)
+    if not paths:
+        print(f"no WAV files under {args.audio}", file=sys.stderr)
+        return 1
+    wav = _load_batch(paths, args.seconds, args.sr)
+    registry = default_extractors(args.sr)
+    if args.feature not in registry:
+        print(f"unknown feature {args.feature}; options: {sorted(registry)}", file=sys.stderr)
+        return 1
+    feats = np.asarray(registry[args.feature](jnp.asarray(wav)))
+    np.savez(args.output, features=feats, files=np.asarray(paths))
+    print(f"wrote {feats.shape} {args.feature} features to {args.output}")
+    return 0
+
+
+def cmd_augment(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.data.augment import add_noise, pitch_shift, time_shift
+    from audioanalysisdetector_tpu.io.audio import write_wav
+
+    paths = _collect_wavs(args.audio)
+    if not paths:
+        print(f"no WAV files under {args.audio}", file=sys.stderr)
+        return 1
+    wav = jnp.asarray(_load_batch(paths, args.seconds, args.sr))
+    os.makedirs(args.output_dir, exist_ok=True)
+    key = jax.random.PRNGKey(args.seed)
+    variants = {
+        "noise": add_noise(wav, key, factor=args.noise_factor),
+        "pitch": pitch_shift(wav, n_steps=args.pitch_steps),
+        "shift": time_shift(wav, key),
+    }
+    for name, batch in variants.items():
+        for p, y in zip(paths, np.asarray(batch)):
+            base = os.path.splitext(os.path.basename(p))[0]
+            write_wav(os.path.join(args.output_dir, f"{base}_{name}.wav"), y, args.sr)
+    print(f"wrote {len(paths) * len(variants)} augmented files to {args.output_dir}")
+    return 0
+
+
+def _labels_from_dirnames(paths: list[str]) -> np.ndarray:
+    """label = 1 iff any parent directory is named 'spoof'/'fake'."""
+    return np.asarray(
+        [1 if any(seg in ("spoof", "fake") for seg in p.split(os.sep)) else 0 for p in paths],
+        dtype=np.int64,
+    )
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig, log_mel_spectrogram
+    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+    from audioanalysisdetector_tpu.train import TrainState, evaluate, fit, make_optimizer
+
+    paths = _collect_wavs(args.audio)
+    if len(paths) < 4:
+        print("need at least 4 WAVs (with 'spoof'/'fake' dirs for labels)", file=sys.stderr)
+        return 1
+    wav = _load_batch(paths, args.seconds, args.sr)
+    y = _labels_from_dirnames(paths)
+    mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
+    feats = np.asarray(log_mel_spectrogram(jnp.asarray(wav), mel_cfg))
+    split = max(int(len(paths) * 0.8), 1)
+    model = CNNBiLSTMHybrid(logits=True)
+    variables = model.init(jax.random.PRNGKey(args.seed), jnp.asarray(feats[:1]), train=False)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(args.optimizer, args.lr),
+        batch_stats=variables["batch_stats"],
+    )
+    result = fit(
+        state, (feats[:split], y[:split]), (feats[split:], y[split:]),
+        loss_name="BCELoss", num_epochs=args.epochs, batch_size=args.batch_size,
+        run_dir=args.run_dir, binary_head=True, verbose=True,
+    )
+    metrics = evaluate(
+        result.best_state, (feats[split:], y[split:]), loss_name="BCELoss", binary_head=True
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_xai(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig, log_mel_spectrogram
+    from audioanalysisdetector_tpu.models.resnet import AntiSpoofingResNet
+    from audioanalysisdetector_tpu.xai import grad_cam, plot_heatmaps, saliency
+
+    paths = _collect_wavs(args.audio)[:1]
+    if not paths:
+        print(f"no WAV files under {args.audio}", file=sys.stderr)
+        return 1
+    wav = _load_batch(paths, args.seconds, args.sr)
+    mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
+    feats = log_mel_spectrogram(jnp.asarray(wav), mel_cfg)
+    model = AntiSpoofingResNet()
+    variables = model.init(jax.random.PRNGKey(0), feats, train=False)
+    sal = saliency(model.apply, variables, feats)
+    cam = grad_cam(model, variables, feats, output_size=feats.shape[-2:])
+    out = plot_heatmaps(
+        {"saliency": np.asarray(sal[0]), "grad_cam": np.asarray(cam[0])},
+        args.output_dir, prefix=os.path.splitext(os.path.basename(paths[0]))[0],
+    )
+    print("\n".join(out))
+    return 0
+
+
+def cmd_train_fused(args) -> int:
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.cqcc import CQCCConfig, cqcc, transpose_cqcc
+    from audioanalysisdetector_tpu.data.scaler import prepare_train_test_data
+    from audioanalysisdetector_tpu.score import eval_fused, make_fused_scorer
+    from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
+    from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
+
+    paths = _collect_wavs(args.audio)
+    if len(paths) < 8:
+        print("need at least 8 labeled WAVs", file=sys.stderr)
+        return 1
+    wav = _load_batch(paths, args.seconds, args.sr)
+    y = _labels_from_dirnames(paths)
+    feats = np.asarray(transpose_cqcc(cqcc(jnp.asarray(wav), CQCCConfig.for_sr(args.sr))))
+    split = max(int(len(paths) * 0.8), 2)
+    os.makedirs(args.run_dir, exist_ok=True)
+    tr, te, scaler = prepare_train_test_data(
+        feats[:split], feats[split:], scaler_path=os.path.join(args.run_dir, "scaler.npz")
+    )
+    result, bilstm_metrics = bilstm_pipeline(
+        (tr, y[:split]), (te, y[split:]),
+        num_epochs=args.epochs, lr=args.lr, batch_size=args.batch_size,
+        hidden=args.hidden, model_dir=args.run_dir,
+    )
+    _, g_gen, g_spoof = train_gmm_system(
+        tr, y[:split], n_components=args.gmm_components, model_dir=args.run_dir,
+    )
+    scorer = make_fused_scorer(
+        result.best_state.apply_fn, {"params": result.best_state.params}, g_gen, g_spoof
+    )
+    _, _, fused_metrics = eval_fused(scorer, te, y[split:], batch_size=args.batch_size)
+    print(json.dumps({"bilstm": bilstm_metrics, "fused": fused_metrics}))
+    return 0
+
+
+def cmd_gridsearch(args) -> int:
+    from audioanalysisdetector_tpu.data.pipeline import extract_features
+    from audioanalysisdetector_tpu.train.classical import (
+        expand_feature_columns,
+        run_extensive_gridsearch,
+    )
+    import pandas as pd
+
+    paths = _collect_wavs(args.audio)
+    if len(paths) < 10:
+        print("need at least 10 labeled WAVs", file=sys.stderr)
+        return 1
+    df = pd.DataFrame({"file_path": paths})
+    df["label"] = _labels_from_dirnames(paths)
+    df["chunk_start"], df["chunk_end"] = 0.0, args.seconds
+    df = extract_features(df, ["wpt"], sr=args.sr, mean=False)
+    expanded = expand_feature_columns(df, ["wpt"], "label")
+    split = int(len(expanded) * 0.8)
+    top, full = run_extensive_gridsearch(
+        expanded[:split], expanded[split:], components=(4,), out_dir=args.output_dir,
+    )
+    if full is not None:
+        print(full.head(args.top_k).to_string())
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="audioanalysisdetector_tpu",
+        description="TPU-native audio deepfake detection framework",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("audio", help="WAV directory or glob")
+        sp.add_argument("--sr", type=int, default=16000)
+        sp.add_argument("--seconds", type=float, default=2.0)
+        sp.add_argument("--seed", type=int, default=0)
+
+    sp = sub.add_parser("score", help="log-mel + CNN-BiLSTM spoof scoring")
+    common(sp)
+    sp.add_argument("--n-mels", type=int, default=64)
+    sp.add_argument("--checkpoint", default=None)
+    sp.set_defaults(fn=cmd_score)
+
+    sp = sub.add_parser("extract", help="feature extraction to .npz")
+    common(sp)
+    sp.add_argument("--feature", default="cqcc")
+    sp.add_argument("--output", default="features.npz")
+    sp.set_defaults(fn=cmd_extract)
+
+    sp = sub.add_parser("augment", help="on-device augmentation demo")
+    common(sp)
+    sp.add_argument("--output-dir", default="augmented")
+    sp.add_argument("--noise-factor", type=float, default=0.005)
+    sp.add_argument("--pitch-steps", type=float, default=2.0)
+    sp.set_defaults(fn=cmd_augment)
+
+    sp = sub.add_parser("train", help="CNN-BiLSTM training run")
+    common(sp)
+    sp.add_argument("--n-mels", type=int, default=64)
+    sp.add_argument("--epochs", type=int, default=5)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--optimizer", default="Adam")
+    sp.add_argument("--run-dir", default="runs/cnn_bilstm")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("xai", help="saliency + Grad-CAM heatmaps")
+    common(sp)
+    sp.add_argument("--n-mels", type=int, default=64)
+    sp.add_argument("--output-dir", default="xai_out")
+    sp.set_defaults(fn=cmd_xai)
+
+    sp = sub.add_parser("train-fused", help="GMM(+)BiLSTM flagship system")
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=5)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--hidden", type=int, default=128)
+    sp.add_argument("--gmm-components", type=int, default=16)
+    sp.add_argument("--run-dir", default="runs/GMM-BiLSTM")
+    sp.set_defaults(fn=cmd_train_fused)
+
+    sp = sub.add_parser("gridsearch", help="classical SVM/XGB sweep")
+    common(sp)
+    sp.add_argument("--output-dir", default="gridsearch_results")
+    sp.add_argument("--top-k", type=int, default=5)
+    sp.set_defaults(fn=cmd_gridsearch)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,80 @@
+"""GMM-UBM system orchestration: UBM fit + per-class MAP + persistence.
+
+Counterpart of ``gmm_model`` / ``load_gmm_models``
+(reference/ASV_dl_func.py:1132-1170): fit a 128-component diagonal UBM on
+all training frames, MAP-adapt genuine (label 0) and spoof (label 1)
+models, persist all three. Storage is npz (no pickle). The reference's UBM
+EM takes 478.85 s on CPU; this path runs the chunked-GEMM EM on device.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from audioanalysisdetector_tpu.models.gmm import (
+    DiagGMM,
+    fit_em,
+    from_numpy,
+    map_adapt,
+    to_numpy,
+)
+
+
+def _stack_frames(seqs: np.ndarray) -> np.ndarray:
+    """(N, T, F) sequences -> (N*T, F) frames (vstack of feature cells)."""
+    seqs = np.asarray(seqs)
+    return seqs.reshape(-1, seqs.shape[-1])
+
+
+def train_gmm_system(
+    train_seqs: np.ndarray,
+    labels: np.ndarray,
+    *,
+    n_components: int = 128,
+    max_iter: int = 100,
+    relevance_factor: float = 10.0,
+    model_dir: str = "GMM-BiLSTM",
+    seed: int = 42,
+    verbose: bool = False,
+) -> tuple[DiagGMM, DiagGMM, DiagGMM]:
+    """Returns (ubm, gmm_genuine, gmm_spoof) and persists them in model_dir."""
+    os.makedirs(model_dir, exist_ok=True)
+    labels = np.asarray(labels)
+    all_frames = _stack_frames(train_seqs)
+
+    t0 = time.time()
+    ubm = fit_em(
+        all_frames, n_components, max_iter=max_iter, seed=seed, verbose=verbose
+    )
+    t_ubm = time.time() - t0
+    if verbose:
+        print(f"UBM EM done in {t_ubm:.2f}s on {len(all_frames)} frames")
+
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    gmm_genuine = map_adapt(
+        ubm, jnp.asarray(_stack_frames(train_seqs[labels == 0])),
+        relevance_factor=relevance_factor,
+    )
+    gmm_spoof = map_adapt(
+        ubm, jnp.asarray(_stack_frames(train_seqs[labels == 1])),
+        relevance_factor=relevance_factor,
+    )
+    if verbose:
+        print(f"MAP adaptation done in {time.time() - t0:.2f}s")
+
+    for name, g in (("ubm", ubm), ("gmm_genuine", gmm_genuine), ("gmm_df", gmm_spoof)):
+        np.savez(os.path.join(model_dir, f"{name}.npz"), **to_numpy(g))
+    return ubm, gmm_genuine, gmm_spoof
+
+
+def load_gmm_models(model_dir: str) -> tuple[DiagGMM, DiagGMM, DiagGMM]:
+    out = []
+    for name in ("ubm", "gmm_genuine", "gmm_df"):
+        with np.load(os.path.join(model_dir, f"{name}.npz")) as z:
+            out.append(from_numpy({k: z[k] for k in z.files}))
+    return tuple(out)

@@ -1,0 +1,117 @@
+"""Per-feature training sweep — the optimizer x loss x feature grid.
+
+Counterpart of ``train_all_features`` / ``train_feature_model``
+(reference/ASV_dl_func.py:872-1029): for every (optimizer, criterion,
+feature) cell, standardize that feature on train frames, train a fresh
+``AntiSpoofingResNet``, and persist per-cell artifacts — best + final
+checkpoints, epoch logs (JSON), final metrics (JSON), and the scaler — in
+``{out_dir}/{optimizer}_{criterion}/``.
+
+Data enters as arrays: ``features[name] = (train_x, test_x)`` with 2-D
+feature maps per example, plus integer labels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from audioanalysisdetector_tpu.data.scaler import FrameScaler
+from audioanalysisdetector_tpu.models.resnet import AntiSpoofingResNet
+from audioanalysisdetector_tpu.train.loop import evaluate, fit
+from audioanalysisdetector_tpu.train.optimizers import make_optimizer
+from audioanalysisdetector_tpu.train.state import TrainState
+
+
+def train_feature_model(
+    train_x: np.ndarray,
+    train_y: np.ndarray,
+    test_x: np.ndarray,
+    test_y: np.ndarray,
+    *,
+    feature_name: str,
+    optimizer_name: str = "Adam",
+    criterion_name: str = "CrossEntropyLoss",
+    lr: float = 1e-4,
+    epochs: int = 10,
+    batch_size: int = 32,
+    out_dir: str = "Res_Net",
+    seed: int = 0,
+    verbose: bool = False,
+) -> dict:
+    """One sweep cell: scale -> train -> evaluate -> persist artifacts."""
+    cell_dir = os.path.join(out_dir, f"{optimizer_name}_{criterion_name}")
+    os.makedirs(cell_dir, exist_ok=True)
+
+    # standardize over all train frames of this feature (reference
+    # in-loop scaler, reference/ASV_dl_func.py:963-973)
+    scaler = FrameScaler.fit(train_x.reshape(-1, train_x.shape[-1]))
+    tr = np.asarray(scaler.transform(train_x)).astype(np.float32)
+    te = np.asarray(scaler.transform(test_x)).astype(np.float32)
+    scaler.save(os.path.join(cell_dir, f"{feature_name}_scaler.npz"))
+
+    model = AntiSpoofingResNet()
+    variables = model.init(jax.random.PRNGKey(seed), tr[:1], train=False)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=make_optimizer(optimizer_name, lr),
+        batch_stats=variables["batch_stats"],
+    )
+    run_dir = os.path.join(cell_dir, feature_name)
+    result = fit(
+        state, (tr, train_y), (te, test_y),
+        loss_name=criterion_name, num_epochs=epochs, batch_size=batch_size,
+        seed=seed, run_dir=run_dir, has_batch_stats=True, verbose=verbose,
+        plots=False,
+    )
+    metrics_best = evaluate(result.best_state, (te, test_y), loss_name=criterion_name)
+    metrics_final = evaluate(result.state, (te, test_y), loss_name=criterion_name)
+
+    with open(os.path.join(cell_dir, f"{feature_name}_logs.json"), "w") as f:
+        json.dump([l.__dict__ for l in result.logs], f, indent=2)
+    with open(os.path.join(cell_dir, f"{feature_name}_metrics.json"), "w") as f:
+        json.dump({"best": metrics_best, "final": metrics_final}, f, indent=2)
+    return {
+        "feature": feature_name,
+        "optimizer": optimizer_name,
+        "criterion": criterion_name,
+        "best": metrics_best,
+        "final": metrics_final,
+        "run_dir": run_dir,
+    }
+
+
+def train_all_features(
+    features: dict[str, tuple[np.ndarray, np.ndarray]],
+    train_y: np.ndarray,
+    test_y: np.ndarray,
+    *,
+    optimizers: tuple[str, ...] = ("Adam", "AdamW", "SGD"),
+    criteria: tuple[str, ...] = ("CrossEntropyLoss", "MSELoss", "L1Loss"),
+    epochs: int = 10,
+    lr: float = 1e-4,
+    batch_size: int = 32,
+    out_dir: str = "Res_Net",
+    seed: int = 0,
+) -> list[dict]:
+    """The full nested sweep (reference defaults: {Adam, AdamW, SGD} x
+    {CrossEntropy, MSE, L1} x features, reference/ASV_dl_func.py:945-953)."""
+    results = []
+    for opt in optimizers:
+        for crit in criteria:
+            for feat_name, (tr_x, te_x) in features.items():
+                results.append(
+                    train_feature_model(
+                        tr_x, train_y, te_x, test_y,
+                        feature_name=feat_name, optimizer_name=opt,
+                        criterion_name=crit, lr=lr, epochs=epochs,
+                        batch_size=batch_size, out_dir=out_dir, seed=seed,
+                    )
+                )
+    with open(os.path.join(out_dir, "sweep_summary.json"), "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    return results

@@ -1,0 +1,77 @@
+"""CLI smoke tests on a synthetic labeled WAV corpus (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audioanalysisdetector_tpu.cli.main import main
+from audioanalysisdetector_tpu.io.audio import write_wav
+
+
+@pytest.fixture
+def corpus(tmp_path, rng):
+    for label in ("bonafide", "spoof"):
+        d = tmp_path / "wavs" / label
+        d.mkdir(parents=True)
+        for i in range(6):
+            y = rng.standard_normal(32000).astype(np.float32) * 0.1
+            if label == "spoof":
+                y += 0.05 * np.sin(2 * np.pi * 3000 * np.arange(32000) / 16000)
+            write_wav(str(d / f"{label}_{i}.wav"), y, 16000)
+    return str(tmp_path / "wavs")
+
+
+def test_cli_score(corpus, capsys):
+    assert main(["score", corpus]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 12
+    assert all(0.0 <= l["spoof_score"] <= 1.0 for l in lines)
+
+
+def test_cli_extract(corpus, tmp_path, capsys):
+    out = str(tmp_path / "feats.npz")
+    assert main(["extract", corpus, "--feature", "cqcc", "--output", out]) == 0
+    with np.load(out) as z:
+        assert z["features"].shape == (12, 19, 63)
+
+
+def test_cli_augment(corpus, tmp_path):
+    out_dir = str(tmp_path / "aug")
+    assert main(["augment", corpus, "--output-dir", out_dir]) == 0
+    assert len(os.listdir(out_dir)) == 36
+
+
+def test_cli_train(corpus, tmp_path, capsys):
+    assert (
+        main(
+            ["train", corpus, "--epochs", "1", "--batch-size", "4",
+             "--run-dir", str(tmp_path / "run")]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    metrics = json.loads(out[-1])
+    assert {"accuracy", "f1", "eer", "loss"} <= set(metrics)
+
+
+def test_cli_xai(corpus, tmp_path, capsys):
+    out_dir = str(tmp_path / "xai")
+    assert main(["xai", corpus, "--output-dir", out_dir]) == 0
+    files = os.listdir(out_dir)
+    assert any("saliency" in f for f in files) and any("grad_cam" in f for f in files)
+
+
+def test_cli_train_fused(corpus, tmp_path, capsys):
+    assert (
+        main(
+            ["train-fused", corpus, "--epochs", "1", "--batch-size", "4",
+             "--hidden", "8", "--gmm-components", "2",
+             "--run-dir", str(tmp_path / "fused")]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    metrics = json.loads(out[-1])
+    assert "fused" in metrics and "eer" in metrics["fused"]

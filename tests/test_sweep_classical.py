@@ -1,0 +1,117 @@
+"""Sweep driver, classical bridge, and GMM-system orchestration tests."""
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from audioanalysisdetector_tpu.models.gmm import score
+from audioanalysisdetector_tpu.train.classical import (
+    expand_feature_columns,
+    generate_feature_sets,
+    preprocess_for_modeling,
+    run_extensive_gridsearch,
+)
+from audioanalysisdetector_tpu.train.gmm_system import load_gmm_models, train_gmm_system
+from audioanalysisdetector_tpu.train.sweep import train_all_features, train_feature_model
+
+
+def test_expand_feature_columns(rng):
+    df = pd.DataFrame(
+        {
+            "vec": [rng.standard_normal(3) for _ in range(4)],
+            "dct": [{"a": 1.0, "b": 2.0}] * 4,
+            "label": ["spoof", "bonafide"] * 2,
+        }
+    )
+    out = expand_feature_columns(df, ["vec", "dct"], "label")
+    assert {"vec_0", "vec_1", "vec_2", "dct_a", "dct_b", "label"} == set(out.columns)
+    assert len(out) == 4
+
+
+def test_preprocess_for_modeling(rng):
+    n = 60
+    df = pd.DataFrame(rng.standard_normal((n, 4)), columns=list("abcd"))
+    df["label"] = ["spoof"] * 40 + ["bonafide"] * 20
+    X_tr, X_te, y_tr, y_te, scaler = preprocess_for_modeling(df)
+    # train oversampled to balance
+    assert (y_tr == 0).sum() == (y_tr == 1).sum()
+    np.testing.assert_allclose(X_tr.mean(0), 0, atol=0.3)
+    assert len(X_te) == 12
+
+
+def test_generate_feature_sets():
+    sets = list(generate_feature_sets(["a", "b"]))
+    names = [n for n, _ in sets]
+    assert names == ["all", "a", "b", "a_plus_b", "b_plus_a"]
+
+
+def test_extensive_gridsearch_smoke(tmp_path, rng):
+    n = 60
+    X = rng.standard_normal((n, 6))
+    y = (X[:, 0] > 0).astype(int)
+    X[y == 1, 1] += 2.0
+    cols = [f"f{i}" for i in range(6)]
+    df_tr = pd.DataFrame(X[:40], columns=cols)
+    df_tr["label"] = y[:40]
+    df_te = pd.DataFrame(X[40:], columns=cols)
+    df_te["label"] = y[40:]
+    top, full = run_extensive_gridsearch(
+        df_tr, df_te,
+        svm_params={"clf__C": [1], "clf__kernel": ["rbf"]},
+        xgb_params={"clf__n_estimators": [20], "clf__max_depth": [3], "clf__learning_rate": [0.1]},
+        cv=2, components=(3,), out_dir=str(tmp_path / "gs"), n_jobs=1,
+    )
+    assert full is not None and len(full) > 0
+    assert {"SVM", "XGB"} == set(full["model"].unique())
+    assert os.path.exists(tmp_path / "gs" / "gridsearch_summary.csv")
+    assert full["test_score"].max() > 0.7
+
+
+def test_train_feature_model_cell(tmp_path, rng):
+    n = 48
+    tr_x = rng.standard_normal((n, 19, 63)).astype(np.float32)
+    y = (tr_x.mean(axis=(1, 2)) > 0).astype(np.int64)
+    tr_x[y == 1] += 0.3
+    out = train_feature_model(
+        tr_x, y, tr_x, y, feature_name="cqcc", epochs=2, batch_size=16,
+        out_dir=str(tmp_path / "Res_Net"),
+    )
+    cell = tmp_path / "Res_Net" / "Adam_CrossEntropyLoss"
+    assert (cell / "cqcc_scaler.npz").exists()
+    assert (cell / "cqcc_logs.json").exists()
+    assert (cell / "cqcc_metrics.json").exists()
+    assert (cell / "cqcc" / "best_model.msgpack").exists()
+    assert "eer" in out["best"]
+
+
+def test_train_all_features_grid(tmp_path, rng):
+    n = 24
+    x = rng.standard_normal((n, 8, 12)).astype(np.float32)
+    y = rng.integers(0, 2, n).astype(np.int64)
+    results = train_all_features(
+        {"mfcc": (x, x)}, y, y,
+        optimizers=("Adam",), criteria=("CrossEntropyLoss", "MSELoss"),
+        epochs=1, batch_size=12, out_dir=str(tmp_path / "sweep"),
+    )
+    assert len(results) == 2
+    assert os.path.exists(tmp_path / "sweep" / "sweep_summary.json")
+
+
+def test_gmm_system_train_and_reload(tmp_path, rng):
+    import jax.numpy as jnp
+
+    n, t, f = 40, 20, 5
+    seqs = rng.standard_normal((n, t, f)).astype(np.float32)
+    labels = np.array([0] * 20 + [1] * 20)
+    seqs[labels == 1] += 1.5  # separable classes
+    ubm, g_gen, g_spoof = train_gmm_system(
+        seqs, labels, n_components=4, max_iter=20, model_dir=str(tmp_path / "gmm"),
+    )
+    ubm2, g_gen2, g_spoof2 = load_gmm_models(str(tmp_path / "gmm"))
+    np.testing.assert_array_equal(np.asarray(ubm.means), np.asarray(ubm2.means))
+    # adapted models separate their own classes
+    genuine_frames = jnp.asarray(seqs[labels == 0].reshape(-1, f))
+    spoof_frames = jnp.asarray(seqs[labels == 1].reshape(-1, f))
+    assert float(score(genuine_frames, g_gen)) > float(score(genuine_frames, g_spoof))
+    assert float(score(spoof_frames, g_spoof)) > float(score(spoof_frames, g_gen))
