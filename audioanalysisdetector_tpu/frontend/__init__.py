@@ -27,6 +27,18 @@ from audioanalysisdetector_tpu.frontend.cqt import (
     default_n_bins,
 )
 from audioanalysisdetector_tpu.frontend.db import amplitude_to_db, power_to_db
+from audioanalysisdetector_tpu.frontend.eda import (
+    compute_cqt_spec,
+    melspectrogram_znorm,
+    znorm,
+)
+from audioanalysisdetector_tpu.frontend.formants import (
+    analyze_formants_and_silence,
+    burg_lpc,
+    formant_tracks,
+    intensity_db,
+)
+from audioanalysisdetector_tpu.frontend.istft import istft
 from audioanalysisdetector_tpu.frontend.dct import dct_ii, dct_ii_matrix
 from audioanalysisdetector_tpu.frontend.mel import (
     MelConfig,
@@ -57,7 +69,15 @@ __all__ = [
     "CQCCConfig",
     "CQTConfig",
     "CepstralConfig",
+    "analyze_formants_and_silence",
+    "burg_lpc",
+    "compute_cqt_spec",
     "cqcc",
+    "formant_tracks",
+    "intensity_db",
+    "istft",
+    "melspectrogram_znorm",
+    "znorm",
     "cqcc_from_cqt_mag",
     "cqt",
     "cqt_frequencies",

@@ -16,6 +16,11 @@ from audioanalysisdetector_tpu.models.gmm import (
     to_numpy,
 )
 from audioanalysisdetector_tpu.models.lstm import BiLSTM, LSTMLayer
+from audioanalysisdetector_tpu.models.mobilenet_mfca import (
+    MFCAModule,
+    MobileNetMFCA,
+    MobileNetV2Features,
+)
 from audioanalysisdetector_tpu.models.resnet import (
     AntiSpoofingResNet,
     ExtractFeatureResidual,
@@ -32,6 +37,9 @@ __all__ = [
     "DiagGMM",
     "ExtractFeatureResidual",
     "LSTMLayer",
+    "MFCAModule",
+    "MobileNetMFCA",
+    "MobileNetV2Features",
     "MoreFeaturesClassifier",
     "ResNetTrunk",
     "ResidualBlock",

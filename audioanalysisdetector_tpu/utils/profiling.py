@@ -1,0 +1,90 @@
+"""Tracing / profiling subsystem.
+
+The reference's only observability is wall-clock prints around training
+phases (reference/ASV_dl_func.py:1139-1149, :1481-1496; SURVEY.md §5). Here
+profiling is a real subsystem: per-step timing aggregation with percentile
+summaries and throughput, plus ``jax.profiler`` trace capture for
+TensorBoard/Perfetto.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+
+@dataclass
+class StepTimer:
+    """Accumulates per-step wall times; blocks on device completion."""
+
+    name: str = "step"
+    times: list[float] = field(default_factory=list)
+
+    @contextlib.contextmanager
+    def measure(self, result=None):
+        t0 = time.perf_counter()
+        yield
+        self.times.append(time.perf_counter() - t0)
+
+    def record(self, seconds: float) -> None:
+        self.times.append(seconds)
+
+    def summary(self, *, items_per_step: int | None = None, skip_warmup: int = 1) -> dict:
+        t = np.asarray(self.times[skip_warmup:] or self.times)
+        out = {
+            "name": self.name,
+            "steps": len(t),
+            "mean_ms": float(t.mean() * 1e3),
+            "p50_ms": float(np.percentile(t, 50) * 1e3),
+            "p99_ms": float(np.percentile(t, 99) * 1e3),
+            "total_s": float(t.sum()),
+        }
+        if items_per_step:
+            out["items_per_sec"] = float(items_per_step / t.mean())
+        return out
+
+    def dump(self, path: str, **kwargs) -> None:
+        with open(path, "w") as f:
+            json.dump(self.summary(**kwargs), f, indent=2)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace (view in TensorBoard / Perfetto)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def profile_fn(fn, *args, iters: int = 10, warmup: int = 2, items: int | None = None) -> dict:
+    """Time a device function: compile excluded, block_until_ready included."""
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    timer = StepTimer(getattr(fn, "__name__", "fn"))
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        timer.record(time.perf_counter() - t0)
+    return timer.summary(items_per_step=items, skip_warmup=0)
+
+
+def timed(label: str, verbose: bool = True):
+    """Phase-scoped wall timer (the reference's start/end print pattern)."""
+
+    @contextlib.contextmanager
+    def ctx():
+        t0 = time.time()
+        yield
+        if verbose:
+            print(f"{label}: {time.time() - t0:.2f}s")
+
+    return ctx()
