@@ -33,7 +33,9 @@ from audioanalysisdetector_tpu.frontend import (
     mfcc,
     wpt_energies,
 )
-from audioanalysisdetector_tpu.io.audio import load_chunk_batch
+from audioanalysisdetector_tpu.io.native_loader import (
+    load_chunk_batch_native as load_chunk_batch,
+)
 
 
 def default_extractors(sr: int = 16000) -> dict[str, Callable]:

@@ -1,0 +1,134 @@
+"""ctypes bindings for the native batch WAV loader (native/wavloader.cpp).
+
+The shared library is built on first use (g++ from the repo's ``native/``
+sources, cached next to the source). Every entry point degrades gracefully
+to the pure-Python loader in ``io.audio`` — rows the native path cannot
+handle (non-WAV container, sample-rate mismatch needing resample) are
+back-filled per row.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from audioanalysisdetector_tpu.io.audio import AudioInfo, load_audio
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "wavloader.cpp"))
+_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libwavloader.so"))
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SRC, "-o", _LIB],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC) or not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_LIB)
+        lib.wav_info.restype = ctypes.c_int
+        lib.wav_info.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.load_chunk_batch.restype = ctypes.c_int
+        lib.load_chunk_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int32,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def audio_info_native(path: str) -> AudioInfo | None:
+    lib = get_lib()
+    if lib is None or not path.lower().endswith(".wav"):
+        return None
+    frames = ctypes.c_int64()
+    sr = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    if lib.wav_info(path.encode(), ctypes.byref(frames), ctypes.byref(sr), ctypes.byref(ch)):
+        return None
+    return AudioInfo(frames=int(frames.value), samplerate=int(sr.value), channels=int(ch.value))
+
+
+def load_chunk_batch_native(
+    paths: list[str],
+    chunk_starts: list[float],
+    chunk_ends: list[float],
+    *,
+    sr: int = 16000,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Threaded native batch fill -> (B, n_samples) float32.
+
+    Rows the native decoder rejects fall back to the Python loader.
+    """
+    n = int(round((chunk_ends[0] - chunk_starts[0]) * sr))
+    out = np.zeros((len(paths), n), dtype=np.float32)
+    lib = get_lib()
+    todo = list(range(len(paths)))
+    if lib is not None:
+        wav_rows = [i for i in todo if paths[i].lower().endswith(".wav")]
+        if wav_rows:
+            c_paths = (ctypes.c_char_p * len(wav_rows))(
+                *[paths[i].encode() for i in wav_rows]
+            )
+            starts = np.asarray([chunk_starts[i] for i in wav_rows], np.float64)
+            sub = np.zeros((len(wav_rows), n), dtype=np.float32)
+            status = np.zeros(len(wav_rows), dtype=np.int32)
+            lib.load_chunk_batch(
+                c_paths, starts, len(wav_rows), n, sr, sub, status, n_threads
+            )
+            for j, i in enumerate(wav_rows):
+                if status[j] == 0:
+                    out[i] = sub[j]
+                    todo.remove(i)
+    for i in todo:  # python fallback (non-WAV, rate mismatch, errors)
+        try:
+            y, _ = load_audio(
+                paths[i], sr=sr, offset=chunk_starts[i],
+                duration=chunk_ends[i] - chunk_starts[i],
+            )
+            out[i, : min(len(y), n)] = y[:n]
+        except (RuntimeError, OSError, EOFError, ValueError):
+            pass  # leave zeros (the reference drops unreadable rows upstream)
+    return out

@@ -1,0 +1,73 @@
+"""Native C++ WAV loader: build, parity with the Python loader, fallbacks."""
+
+import numpy as np
+import pytest
+
+from audioanalysisdetector_tpu.io.audio import audio_info, load_chunk_batch, write_wav
+from audioanalysisdetector_tpu.io.native_loader import (
+    audio_info_native,
+    load_chunk_batch_native,
+    native_available,
+)
+
+
+@pytest.fixture(scope="module")
+def wavs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wavs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(5):
+        y = np.clip(rng.standard_normal(16000 * 3) * 0.2, -0.99, 0.99).astype(np.float32)
+        p = str(d / f"f{i}.wav")
+        write_wav(p, y, 16000)
+        paths.append(p)
+    # one file at a different sample rate (native must flag + fall back)
+    p8k = str(d / "f8k.wav")
+    write_wav(p8k, np.zeros(8000, np.float32) + 0.1, 8000)
+    paths.append(p8k)
+    return paths
+
+
+def test_native_builds():
+    assert native_available(), "g++ build of native/wavloader.cpp failed"
+
+
+def test_native_info_matches_python(wavs):
+    info_py = audio_info(wavs[0])
+    info_c = audio_info_native(wavs[0])
+    assert info_c is not None
+    assert (info_c.frames, info_c.samplerate, info_c.channels) == (
+        info_py.frames, info_py.samplerate, info_py.channels,
+    )
+
+
+def test_native_batch_matches_python_loader(wavs):
+    paths = wavs[:5]
+    starts = [0.0, 1.0, 0.5, 0.0, 2.0]
+    ends = [2.0, 3.0, 2.5, 2.0, 4.0]
+    ref = load_chunk_batch(paths, starts, ends, sr=16000)
+    out = load_chunk_batch_native(paths, starts, ends, sr=16000)
+    assert out.shape == ref.shape == (5, 32000)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_native_rate_mismatch_falls_back(wavs):
+    # the 8 kHz file must be resampled via the Python path, not zero-filled
+    out = load_chunk_batch_native([wavs[-1]], [0.0], [0.5], sr=16000)
+    assert out.shape == (1, 8000)
+    assert np.abs(out).max() > 0.05
+
+
+def test_native_missing_file_leaves_zeros(wavs):
+    out = load_chunk_batch_native(
+        [wavs[0], "/nonexistent/x.wav"], [0.0, 0.0], [1.0, 1.0], sr=16000
+    )
+    assert np.abs(out[0]).max() > 0
+    assert (out[1] == 0).all()
+
+
+def test_native_short_read_zero_pads(wavs):
+    # request past EOF: tail stays zero
+    out = load_chunk_batch_native([wavs[0]], [2.5], [4.5], sr=16000)
+    assert (out[0, 8000:] == 0).all()
+    assert np.abs(out[0, :8000]).max() > 0
