@@ -141,28 +141,43 @@ def _em_step(xc: jnp.ndarray, wc: jnp.ndarray, gmm: DiagGMM, reg_covar: float = 
     return DiagGMM(weights=weights, means=means, variances=variances), ll / n_total
 
 
+@partial(jax.jit, static_argnames=("iters",))
+def _lloyd(sub: jnp.ndarray, centers: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+    """Lloyd iterations on device — distances and segment means as GEMMs."""
+
+    def body(c, _):
+        d2 = (
+            jnp.sum(sub * sub, axis=1, keepdims=True)
+            - 2.0 * (sub @ c.T)
+            + jnp.sum(c * c, axis=1)
+        )
+        onehot = jax.nn.one_hot(jnp.argmin(d2, axis=1), c.shape[0], dtype=sub.dtype)
+        counts = jnp.sum(onehot, axis=0)  # (K,)
+        sums = onehot.T @ sub  # (K, D)
+        new_c = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1.0)[:, None], c)
+        return new_c, None
+
+    out, _ = jax.lax.scan(body, centers, None, length=iters)
+    return out
+
+
 def _kmeans_init(x: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
-    """k-means++ seeding + a few Lloyd iterations (host-side, on a subsample).
+    """k-means++ seeding (host, incremental) + Lloyd on device.
 
     sklearn's GaussianMixture defaults to k-means initialization; a subsample
     suffices to place initial responsibilities.
     """
     rng = np.random.default_rng(seed)
     sub = x[rng.choice(x.shape[0], min(x.shape[0], 100_000), replace=False)]
-    centers = [sub[rng.integers(len(sub))]]
-    d2 = np.full(len(sub), np.inf)
+    seed_pool = sub[: min(len(sub), 20_000)]
+    centers = [seed_pool[rng.integers(len(seed_pool))]]
+    d2 = np.full(len(seed_pool), np.inf, dtype=np.float32)
     for _ in range(1, k):
-        d2 = np.minimum(d2, ((sub - centers[-1]) ** 2).sum(-1))
+        d2 = np.minimum(d2, ((seed_pool - centers[-1]) ** 2).sum(-1))
         probs = d2 / d2.sum()
-        centers.append(sub[rng.choice(len(sub), p=probs)])
-    centers = np.stack(centers)
-    for _ in range(iters):
-        assign = ((sub[:, None, :] - centers[None]) ** 2).sum(-1).argmin(1)
-        for j in range(k):
-            pts = sub[assign == j]
-            if len(pts):
-                centers[j] = pts.mean(0)
-    return centers
+        centers.append(seed_pool[rng.choice(len(seed_pool), p=probs)])
+    centers = jnp.asarray(np.stack(centers))
+    return np.asarray(_lloyd(jax.device_put(sub), centers, iters=iters))
 
 
 def fit_em(
@@ -190,16 +205,19 @@ def fit_em(
         variances=jnp.asarray(var0),
     )
     xc_np, wc_np = _pad_to_chunks(x, chunk)
-    xc, wc = jnp.asarray(xc_np), jnp.asarray(wc_np)
+    # device_put (not asarray) — materializes the upload eagerly and fast
+    xc, wc = jax.device_put(xc_np), jax.device_put(wc_np)
     prev_ll = -np.inf
+    sync_every = 1 if (verbose or tol > 0) else 10  # host LL fetch has RPC cost
     for it in range(max_iter):
         gmm, ll = _em_step(xc, wc, gmm, reg_covar=reg_covar)
-        ll = float(ll)
-        if verbose:
-            print(f"EM iter {it}: mean LL {ll:.6f}")
-        if abs(ll - prev_ll) < tol:
-            break
-        prev_ll = ll
+        if verbose or tol > 0 or (it + 1) % sync_every == 0 or it == max_iter - 1:
+            ll = float(ll)
+            if verbose:
+                print(f"EM iter {it}: mean LL {ll:.6f}")
+            if tol > 0 and abs(ll - prev_ll) < tol:
+                break
+            prev_ll = ll
     return gmm
 
 

@@ -46,14 +46,20 @@ def main() -> None:
 
     wav = jax.device_put(jnp.asarray(wav_host))
 
-    # warm-up / compile
-    scores = jax.block_until_ready(scorer(wav))
-    assert scores.shape == (batch,) and bool(jnp.isfinite(scores).all())
+    # warm-up / compile; force materialization with a host fetch (on some
+    # remote TPU runtimes block_until_ready does not actually block)
+    scores = scorer(wav)
+    assert scores.shape == (batch,) and bool(np.isfinite(np.asarray(scores)).all())
 
+    # chained iterations: each batch depends on the previous result, and the
+    # final scalar fetch forces the whole chain — dispatch-only timing is
+    # impossible by construction
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for _ in range(n_iters):
-        scores = scorer(wav)
-    jax.block_until_ready(scores)
+        scores = scorer(wav + acc * 1e-12)
+        acc = acc + jnp.sum(scores)
+    float(acc)
     dt = time.perf_counter() - t0
 
     utt_per_sec = batch * n_iters / dt

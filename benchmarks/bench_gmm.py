@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""UBM training benchmark — the reference's slowest phase.
+
+Reference numbers (ASV_deep_learning.ipynb cell 25, CPU sklearn):
+  UBM EM, 128 diag components, 100 iters, ~1.8M CQCC frames: 478.85 s
+  MAP adaptation, 2 classes x 20 iters:                        87.11 s
+
+This script fits the same-sized problem with the on-device chunked-GEMM EM
+(models/gmm.py) and reports both phases.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.models.gmm import fit_em, map_adapt
+
+    n_frames, dim, k = 1_800_000, 19, 128
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((8, dim)) * 2
+    assign = rng.integers(0, 8, n_frames)
+    x = (centers[assign] + rng.standard_normal((n_frames, dim))).astype(np.float32)
+
+    t0 = time.time()
+    ubm = fit_em(x, k, max_iter=100, tol=0.0, seed=42)  # tol=0: full 100 iters
+    t_ubm = time.time() - t0
+
+    t0 = time.time()
+    half = n_frames // 2
+    _ = map_adapt(ubm, jnp.asarray(x[:half]))
+    _ = map_adapt(ubm, jnp.asarray(x[half:]))
+    t_map = time.time() - t0
+
+    print(json.dumps({
+        "ubm_em_seconds": round(t_ubm, 2),
+        "ubm_em_baseline_seconds": 478.85,
+        "ubm_speedup": round(478.85 / t_ubm, 1),
+        "map_adapt_seconds": round(t_map, 2),
+        "map_adapt_baseline_seconds": 87.11,
+        "map_speedup": round(87.11 / t_map, 1),
+        "frames": n_frames, "components": k, "iters": 100,
+    }))
+
+
+if __name__ == "__main__":
+    main()
