@@ -31,15 +31,30 @@ def _collect_wavs(path: str) -> list[str]:
     return sorted(globlib.glob(path))
 
 
-def _load_batch(paths: list[str], seconds: float, sr: int) -> np.ndarray:
+def _load_batch(paths: list[str], seconds: float, sr: int) -> tuple[list[str], np.ndarray]:
+    """Decode fixed-length clips; unreadable files are dropped with a warning.
+
+    Returns (kept_paths, (B, n) float32) so labels stay aligned with rows.
+    """
+    import wave
+
     from audioanalysisdetector_tpu.io.audio import load_audio
 
     n = int(seconds * sr)
-    out = np.zeros((len(paths), n), dtype=np.float32)
-    for i, p in enumerate(paths):
-        y, _ = load_audio(p, sr=sr)
-        out[i, : min(len(y), n)] = y[:n]
-    return out
+    kept, rows = [], []
+    for p in paths:
+        try:
+            y, _ = load_audio(p, sr=sr)
+        except (RuntimeError, OSError, EOFError, ValueError, wave.Error) as e:
+            print(f"WARNING: cannot read {p}: {e}", file=sys.stderr)
+            continue
+        row = np.zeros(n, dtype=np.float32)
+        row[: min(len(y), n)] = y[:n]
+        kept.append(p)
+        rows.append(row)
+    if not rows:
+        return [], np.zeros((0, n), dtype=np.float32)
+    return kept, np.stack(rows)
 
 
 def cmd_score(args) -> int:
@@ -49,22 +64,25 @@ def cmd_score(args) -> int:
     from audioanalysisdetector_tpu.frontend.mel import MelConfig
     from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
     from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
-    from audioanalysisdetector_tpu.train.checkpoint import restore_params
+    from audioanalysisdetector_tpu.train.checkpoint import load_payload
 
     paths = _collect_wavs(args.audio)
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
-    wav = _load_batch(paths, args.seconds, args.sr)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
     model = CNNBiLSTMHybrid()
     t_frames = 1 + int(args.seconds * args.sr) // mel_cfg.hop_length
     feats0 = jnp.zeros((1, args.n_mels, t_frames))
     variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
     if args.checkpoint:
+        # fit() checkpoints carry {step, params, batch_stats, opt_state};
+        # inference needs the trained params AND the trained BN statistics
+        payload = load_payload(args.checkpoint)
         variables = {
-            "params": restore_params(args.checkpoint, variables["params"]),
-            "batch_stats": variables["batch_stats"],
+            "params": payload["params"],
+            "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
         }
     scorer = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
     scores = np.asarray(scorer(jnp.asarray(wav)))
@@ -82,7 +100,7 @@ def cmd_extract(args) -> int:
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
-    wav = _load_batch(paths, args.seconds, args.sr)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
     registry = default_extractors(args.sr)
     if args.feature not in registry:
         print(f"unknown feature {args.feature}; options: {sorted(registry)}", file=sys.stderr)
@@ -104,7 +122,8 @@ def cmd_augment(args) -> int:
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
-    wav = jnp.asarray(_load_batch(paths, args.seconds, args.sr))
+    paths, wav_np = _load_batch(paths, args.seconds, args.sr)
+    wav = jnp.asarray(wav_np)
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
     variants = {
@@ -119,6 +138,13 @@ def cmd_augment(args) -> int:
     print(f"wrote {len(paths) * len(variants)} augmented files to {args.output_dir}")
     return 0
 
+
+
+def _shuffle(paths: list[str], seed: int) -> list[str]:
+    """Deterministic shuffle before head/tail splits — sorted collection
+    groups labels by directory, which would otherwise yield one-class splits."""
+    idx = np.random.default_rng(seed).permutation(len(paths))
+    return [paths[i] for i in idx]
 
 def _labels_from_dirnames(paths: list[str]) -> np.ndarray:
     """label = 1 iff any parent directory is named 'spoof'/'fake'."""
@@ -140,7 +166,8 @@ def cmd_train(args) -> int:
     if len(paths) < 4:
         print("need at least 4 WAVs (with 'spoof'/'fake' dirs for labels)", file=sys.stderr)
         return 1
-    wav = _load_batch(paths, args.seconds, args.sr)
+    paths = _shuffle(paths, args.seed)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
     y = _labels_from_dirnames(paths)
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
     feats = np.asarray(log_mel_spectrogram(jnp.asarray(wav), mel_cfg))
@@ -177,7 +204,10 @@ def cmd_xai(args) -> int:
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
-    wav = _load_batch(paths, args.seconds, args.sr)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
+    if not paths:
+        print("no readable WAV files", file=sys.stderr)
+        return 1
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
     feats = log_mel_spectrogram(jnp.asarray(wav), mel_cfg)
     model = AntiSpoofingResNet()
@@ -205,7 +235,8 @@ def cmd_train_fused(args) -> int:
     if len(paths) < 8:
         print("need at least 8 labeled WAVs", file=sys.stderr)
         return 1
-    wav = _load_batch(paths, args.seconds, args.sr)
+    paths = _shuffle(paths, args.seed)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
     y = _labels_from_dirnames(paths)
     feats = np.asarray(transpose_cqcc(cqcc(jnp.asarray(wav), CQCCConfig.for_sr(args.sr))))
     split = max(int(len(paths) * 0.8), 2)
@@ -241,6 +272,7 @@ def cmd_gridsearch(args) -> int:
     if len(paths) < 10:
         print("need at least 10 labeled WAVs", file=sys.stderr)
         return 1
+    paths = _shuffle(paths, args.seed)
     df = pd.DataFrame({"file_path": paths})
     df["label"] = _labels_from_dirnames(paths)
     df["chunk_start"], df["chunk_end"] = 0.0, args.seconds

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from audioanalysisdetector_tpu.frontend.istft import istft
-from audioanalysisdetector_tpu.frontend.stft import stft
+from audioanalysisdetector_tpu.frontend.stft import stft_realimag
 
 
 def add_noise(wav: jnp.ndarray, key: jax.Array, *, factor: float = 0.005) -> jnp.ndarray:
@@ -105,9 +105,12 @@ def _phase_vocoder(
 def time_stretch(
     wav: jnp.ndarray, rate: float, *, n_fft: int = 2048, hop_length: int = 512
 ) -> jnp.ndarray:
-    """Phase-vocoder time stretch: length n -> round(n / rate)."""
-    spec = stft(wav, n_fft=n_fft, hop_length=hop_length, method="matmul")
-    re, im = jnp.real(spec), jnp.imag(spec)
+    """Phase-vocoder time stretch: length n -> round(n / rate).
+
+    Complex-free throughout (re/im carried separately) so it compiles on
+    TPU runtimes without complex support.
+    """
+    re, im = stft_realimag(wav, n_fft=n_fft, hop_length=hop_length)
     re2, im2 = _phase_vocoder(re, im, rate, hop_length, n_fft)
     n_out = int(round(wav.shape[-1] / rate))
     return istft(re2, im2, n_fft=n_fft, hop_length=hop_length, length=n_out)

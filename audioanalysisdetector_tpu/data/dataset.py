@@ -11,6 +11,7 @@ minimum-count thresholds; rescue CSVs snapshot the expensive scan.
 from __future__ import annotations
 
 import os
+import wave
 
 import pandas as pd
 
@@ -31,7 +32,7 @@ def chunk_rows(
         fpath = row[path_col]
         try:
             info = audio_info(fpath)
-        except (RuntimeError, OSError, EOFError, ValueError) as e:
+        except (RuntimeError, OSError, EOFError, ValueError, wave.Error) as e:
             if verbose:
                 print(f"WARNING: cannot read {fpath}: {e}")
             continue
@@ -93,6 +94,7 @@ def prepare_dataframe(
     )
     for key, value in all_data.items():
         metadata_path = value["metadata"]
+        key_chunks = []  # rescue snapshot accumulates across ALL folders of a key
         for audio_folder in value["flac"]:
             try:
                 df = read_metadata(metadata_path)
@@ -108,13 +110,16 @@ def prepare_dataframe(
             if df.empty:
                 continue
             print(f"found {df.shape[0]} {chunk_seconds}-s chunks for {key}")
-            if rescue_dir is not None:
-                df.to_csv(os.path.join(rescue_dir, f"{key}_ratunkowe.csv"))
+            key_chunks.append(df)
             if balance and "label" in df.columns:
                 df = _balance_downsample(df, min_per_class, seed=seed)
             if df_train is None and sample_size:
                 df = df.sample(min(len(df), sample_size), random_state=seed).copy()
             dfs.append(df)
+        if rescue_dir is not None and key_chunks:
+            pd.concat(key_chunks, ignore_index=True).to_csv(
+                os.path.join(rescue_dir, f"{key}_ratunkowe.csv")
+            )
     if not dfs:
         print("ERROR: no data loaded; check paths and config")
         return pd.DataFrame()

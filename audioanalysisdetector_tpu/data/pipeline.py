@@ -76,13 +76,18 @@ def extract_feature_array(
     ends = df.get("chunk_end", pd.Series([2.0] * len(df))).tolist()
     codes = _aug_codes_from(df, aug_col)
 
+    def _finish(feats):
+        return jnp.mean(feats, axis=-1) if mean else feats
+
     @jax.jit
-    def run(wav, aug, key):
-        wav = apply_augmentations(wav, aug, key)
-        feats = feature_fn(wav)
-        if mean:
-            feats = jnp.mean(feats, axis=-1)
-        return feats
+    def run_plain(wav):
+        return _finish(feature_fn(wav))
+
+    @jax.jit
+    def run_augmented(wav, aug, key):
+        # the augmented variant pays for the phase-vocoder pitch shift; only
+        # batches that actually contain augmented rows take this path
+        return _finish(feature_fn(apply_augmentations(wav, aug, key)))
 
     key = jax.random.PRNGKey(seed)
     outs = []
@@ -96,8 +101,11 @@ def extract_feature_array(
             )
         aug = np.zeros(batch_size, np.int32)
         aug[:true] = codes[lo:hi]
-        key, sub = jax.random.split(key)
-        feats = run(jnp.asarray(wav), jnp.asarray(aug), sub)
+        if aug.any():
+            key, sub = jax.random.split(key)
+            feats = run_augmented(jnp.asarray(wav), jnp.asarray(aug), sub)
+        else:
+            feats = run_plain(jnp.asarray(wav))
         outs.append(np.asarray(feats)[:true])
     return np.concatenate(outs) if outs else np.empty((0,))
 

@@ -140,3 +140,26 @@ def power_spectrogram(
 
 def jax_complex(re: jnp.ndarray, im: jnp.ndarray) -> jnp.ndarray:
     return re + 1j * im
+
+
+def stft_realimag(
+    y: jnp.ndarray,
+    *,
+    n_fft: int = 2048,
+    hop_length: int = 512,
+    win_length: int | None = None,
+    window: str = "hann",
+    center: bool = True,
+    pad_mode: str = "reflect",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT as separate (re, im) real arrays, each ``(..., F, T)``.
+
+    Complex dtypes are unimplemented on some TPU runtimes; this matmul-DFT
+    path never materializes one (used by the phase vocoder).
+    """
+    win_length = n_fft if win_length is None else win_length
+    frames = frame_signal(y, n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode)
+    cos_b, sin_b = _rdft_bases(n_fft, window, win_length)
+    re = frames @ jnp.asarray(cos_b, dtype=y.dtype)
+    im = frames @ jnp.asarray(sin_b, dtype=y.dtype)
+    return jnp.swapaxes(re, -1, -2), jnp.swapaxes(im, -1, -2)

@@ -44,8 +44,9 @@ def db4_decomposition_filters() -> tuple[np.ndarray, np.ndarray]:
     """(dec_lo, dec_hi) pywt-convention decomposition pair for db4."""
     rec_lo = _DB4_REC_LO
     dec_lo = rec_lo[::-1].copy()
-    # QMF: dec_hi[n] = (-1)**n * rec_lo[n]
-    dec_hi = (rec_lo * (-1.0) ** np.arange(len(rec_lo)))
+    # pywt QMF convention (even length): dec_hi[n] = (-1)**(n+1) * rec_lo[n]
+    # (Haar check: rec_lo = [.707, .707] -> dec_hi = [-.707, .707], as pywt)
+    dec_hi = rec_lo * (-1.0) ** (np.arange(len(rec_lo)) + 1)
     return dec_lo, dec_hi
 
 

@@ -4,8 +4,9 @@ The reference reaches audio through ``librosa.load`` (decode + resample to
 float32 mono) and ``soundfile.info`` (duration probe without decoding) —
 reference/ASV_dl_func.py:406, :195. Neither library exists in this
 environment; WAV decode is implemented directly on the stdlib ``wave``
-reader (PCM 8/16/24/32-bit and float32), FLAC decode is gated behind an
-optional ``soundfile`` import.
+reader (integer PCM 8/16/24/32-bit; stdlib ``wave`` rejects IEEE-float
+WAVs before we see them — those decode via the native C++ loader or the
+optional ``soundfile`` import, as does FLAC).
 
 Decode stays on the host by design (SURVEY.md §2.5); everything downstream
 of the float32 waveform batch is on-device.
@@ -62,7 +63,7 @@ def _decode_wav(path: str) -> tuple[np.ndarray, int]:
     if width == 2:
         y = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
-        # could be int32 PCM or float32; wave gives no format code, assume PCM
+        # stdlib wave only admits integer PCM (format 1), so width 4 is int32
         y = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif width == 1:
         y = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0

@@ -13,6 +13,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import wave
 
 import numpy as np
 
@@ -129,6 +130,6 @@ def load_chunk_batch_native(
                 duration=chunk_ends[i] - chunk_starts[i],
             )
             out[i, : min(len(y), n)] = y[:n]
-        except (RuntimeError, OSError, EOFError, ValueError):
+        except (RuntimeError, OSError, EOFError, ValueError, wave.Error):
             pass  # leave zeros (the reference drops unreadable rows upstream)
     return out

@@ -57,6 +57,17 @@ def restore_checkpoint(path: str, state: Any) -> Any:
     )
 
 
+def load_payload(path: str) -> dict:
+    """Read a checkpoint WITHOUT a template: returns the raw
+    ``{step, params, batch_stats, opt_state}`` dict of numpy arrays.
+
+    Useful for inference-time loading where no optimizer state exists to
+    shape a template (e.g. the CLI scoring a ``fit()``-produced checkpoint).
+    """
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def save_params(path: str, params: Any) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:

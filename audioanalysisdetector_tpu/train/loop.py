@@ -6,11 +6,11 @@ train/val passes over jitted steps, best/worst checkpoint tracking by val
 loss, txt+CSV+JSON logging and loss/accuracy plots per run directory, final
 accuracy/F1/EER on the best state.
 
-Data enters as numpy arrays; batches stream host->device (sharded when a
-mesh is given). Fixed batch shapes: the tail partial batch is padded and
-masked out of the loss via example weighting... for simplicity the loops
-drop to the reference's behavior (`drop_last=False`) by padding the last
-batch with repeated rows and correcting metric averaging by true counts.
+Data enters as numpy arrays; batches stream host->device. Shapes: training
+pads the tail batch with repeated rows (one compiled step) and weights the
+metric averages by true counts; evaluation leaves the tail unpadded (at most
+one extra compile) so val loss — which drives best-checkpoint selection —
+is exact.
 """
 
 from __future__ import annotations
@@ -116,10 +116,12 @@ def fit(
             tr_n += true
 
         va_loss = va_acc = va_n = 0.0
-        for xb, yb, true in batch_iter(*val_data, batch_size, shuffle=False):
+        # tail batch left unpadded (one extra compile) so the logged val loss
+        # — and best-checkpoint selection — is exact, not padded-row-biased
+        for xb, yb, true in batch_iter(*val_data, batch_size, shuffle=False, pad_tail=False):
             m = eval_step(state, xb, yb)
             va_loss += float(m["loss"]) * true
-            va_acc += float(np.mean(np.asarray(m["preds"])[:true] == yb[:true])) * true
+            va_acc += float(np.mean(np.asarray(m["preds"]) == yb)) * true
             va_n += true
 
         row = EpochLog(
@@ -206,10 +208,10 @@ def evaluate(
         make_eval_step(get_loss(loss_name), has_batch_stats=has_batch_stats, binary_head=binary_head)
     )
     preds, scores, losses, counts = [], [], [], []
-    for xb, yb, true in batch_iter(*data, batch_size, shuffle=False):
+    for xb, yb, true in batch_iter(*data, batch_size, shuffle=False, pad_tail=False):
         m = eval_step(state, xb, yb)
-        preds.append(np.asarray(m["preds"])[:true])
-        scores.append(np.asarray(m["scores"])[:true])
+        preds.append(np.asarray(m["preds"]))
+        scores.append(np.asarray(m["scores"]))
         losses.append(float(m["loss"]) * true)
         counts.append(true)
     y_true = data[1]

@@ -19,11 +19,26 @@ import os
 import jax
 import numpy as np
 
+import optax
+
 from audioanalysisdetector_tpu.data.scaler import FrameScaler
 from audioanalysisdetector_tpu.models.resnet import AntiSpoofingResNet
 from audioanalysisdetector_tpu.train.loop import evaluate, fit
-from audioanalysisdetector_tpu.train.optimizers import make_optimizer
 from audioanalysisdetector_tpu.train.state import TrainState
+
+
+def _sweep_optimizer(name: str, lr: float):
+    """The reference sweep's exact hyperparameters
+    (reference/ASV_dl_func.py:978-981): SGD at lr=1e-3 momentum 0.9; Adam
+    with in-gradient L2 (torch weight_decay=1e-5); AdamW with decoupled
+    weight decay 1e-5."""
+    if name == "SGD":
+        return optax.sgd(1e-3, momentum=0.9)
+    if name == "Adam":
+        return optax.chain(optax.add_decayed_weights(1e-5), optax.adam(lr))
+    if name == "AdamW":
+        return optax.adamw(lr, weight_decay=1e-5)
+    raise ValueError(f"unknown sweep optimizer {name!r}")
 
 
 def train_feature_model(
@@ -58,7 +73,7 @@ def train_feature_model(
     state = TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
-        tx=make_optimizer(optimizer_name, lr),
+        tx=_sweep_optimizer(optimizer_name, lr),
         batch_stats=variables["batch_stats"],
     )
     run_dir = os.path.join(cell_dir, feature_name)

@@ -20,15 +20,32 @@ import numpy as np
 
 @dataclass
 class StepTimer:
-    """Accumulates per-step wall times; blocks on device completion."""
+    """Accumulates per-step wall times.
+
+    ``measure`` synchronizes on whatever the body registers via
+    ``set_result`` before the clock stops; without it, jitted work would be
+    timed at async-dispatch cost only. (Note: on remote-tunnel TPU runtimes
+    even ``block_until_ready`` may not block — ``profile_fn``'s fetch-forced
+    chaining is the robust pattern there.)
+    """
 
     name: str = "step"
     times: list[float] = field(default_factory=list)
 
     @contextlib.contextmanager
-    def measure(self, result=None):
+    def measure(self):
+        """Usage: ``with timer.measure() as sync: out = sync(step(...))``.
+
+        ``sync`` blocks on its argument (and returns it), so device work is
+        inside the measured span.
+        """
+
+        def sync(x):
+            jax.block_until_ready(x)
+            return x
+
         t0 = time.perf_counter()
-        yield
+        yield sync
         self.times.append(time.perf_counter() - t0)
 
     def record(self, seconds: float) -> None:

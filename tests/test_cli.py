@@ -75,3 +75,16 @@ def test_cli_train_fused(corpus, tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     metrics = json.loads(out[-1])
     assert "fused" in metrics and "eer" in metrics["fused"]
+
+
+def test_cli_train_then_score_checkpoint(corpus, tmp_path, capsys):
+    """Regression: score --checkpoint must load fit()-produced checkpoints."""
+    run_dir = str(tmp_path / "run")
+    assert main(["train", corpus, "--epochs", "1", "--batch-size", "4",
+                 "--run-dir", run_dir]) == 0
+    capsys.readouterr()
+    ckpt = os.path.join(run_dir, "best_model.msgpack")
+    assert os.path.exists(ckpt)
+    assert main(["score", corpus, "--checkpoint", ckpt]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 12

@@ -115,3 +115,14 @@ def test_wpt_batched(rng):
     assert e.shape == (3, 8)
     single = np.asarray(wpt_energies(jnp.asarray(y[1])))
     np.testing.assert_allclose(e[1], single, rtol=1e-5, atol=1e-7)
+
+
+def test_db4_dec_hi_sign_convention():
+    """pywt convention: dec_hi[n] = (-1)**(n+1) * rec_lo[n] (Haar: [-.707, .707])."""
+    dec_lo, dec_hi = db4_decomposition_filters()
+    # orthonormality + QMF structure
+    np.testing.assert_allclose(np.sum(dec_lo), np.sqrt(2), atol=1e-10)
+    np.testing.assert_allclose(np.sum(dec_hi), 0.0, atol=1e-10)
+    np.testing.assert_allclose(np.dot(dec_lo, dec_hi), 0.0, atol=1e-10)
+    # sign: first element of dec_hi is NEGATIVE first element of rec_lo
+    assert dec_hi[0] < 0
