@@ -10,6 +10,11 @@ from audioanalysisdetector_tpu.data.augment import (
     time_shift,
     time_stretch,
 )
+from audioanalysisdetector_tpu.data.bucketing import (
+    bucket_for,
+    bucketed_batches,
+    make_bucket_ladder,
+)
 from audioanalysisdetector_tpu.data.balance import (
     add_data_augmentation,
     balance_downsample,
@@ -41,6 +46,9 @@ __all__ = [
     "apply_augmentations",
     "balance_downsample",
     "balance_upsample",
+    "bucket_for",
+    "bucketed_batches",
+    "make_bucket_ladder",
     "chunk_rows",
     "default_extractors",
     "detect_columns",

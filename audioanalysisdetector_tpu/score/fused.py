@@ -5,11 +5,20 @@ per sample (``fused_score``, reference/ASV_dl_func.py:1448-1462, called from
 the per-sample loop at :1483-1491 — its 201 utt/s bottleneck). The TPU
 build scores the whole evaluation set as device-resident batches:
 
-  score = 0.5 * softmax(BiLSTM(x))[:, spoof] + 0.5 * sigmoid(GMM LLR)
+  score = 0.5 * softmax(BiLSTM(x))[:, spoof] + 0.5 * sigmoid(GMM LLR_spoof)
 
-with the reference's exact semantics: non-padded frames recovered by the
+with the reference's semantics: non-padded frames recovered by the
 ``row.sum(axis=-1) != 0`` mask, empty sequences scoring 0.5, decision
-threshold 0.5 (reference/ASV_dl_func.py:1486-1491).
+threshold 0.5, 0.5/0.5 weights (reference/ASV_dl_func.py:1486-1491).
+
+One documented deviation: the reference's formula literally fuses the
+network's P(spoof) with ``sigmoid(ll_genuine - ll_spoof)``
+(reference/ASV_dl_func.py:1459-1462) — a *genuine*-polarity term whose
+effective sign depends on the notebooks' unrecoverable label wiring. Taken
+literally with the ASVspoof convention (spoof = 1) the two halves cancel;
+this build fuses both halves in spoof polarity
+(``LLR_spoof = ll_spoof - ll_genuine``), which the end-to-end learning
+test verifies actually separates the classes.
 """
 
 from __future__ import annotations
@@ -44,8 +53,9 @@ def fused_scores(
     logits = bilstm_apply(variables, x, train=False)
     bilstm_prob = jax.nn.softmax(logits, axis=-1)[:, 1]
     mask = padding_mask(x)
-    llr = masked_llr(x, mask, gmm_genuine, gmm_spoof)
-    gmm_prob = jax.nn.sigmoid(llr)
+    # spoof-polarity LLR (see module docstring on the reference's inverted term)
+    llr_spoof = masked_llr(x, mask, gmm_spoof, gmm_genuine)
+    gmm_prob = jax.nn.sigmoid(llr_spoof)
     score = weight * bilstm_prob + (1.0 - weight) * gmm_prob
     empty = jnp.sum(mask, axis=-1) == 0
     return jnp.where(empty, 0.5, score)

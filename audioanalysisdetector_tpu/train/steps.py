@@ -41,15 +41,17 @@ def make_train_step(
             # decorrelate dropout across data-parallel shards
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
+        xs = x if isinstance(x, tuple) else (x,)  # multi-input models take tuples
+
         def compute_loss(params):
             if has_batch_stats:
                 logits, new_model_state = state.apply_fn(
                     {"params": params, "batch_stats": state.batch_stats},
-                    x, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+                    *xs, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
                 )
             else:
                 logits = state.apply_fn(
-                    {"params": params}, x, train=True, rngs={"dropout": rng}
+                    {"params": params}, *xs, train=True, rngs={"dropout": rng}
                 )
                 new_model_state = {}
             return loss_fn(logits, y), (logits, new_model_state)
@@ -82,10 +84,11 @@ def make_eval_step(
     loss_fn: Callable, *, has_batch_stats: bool = True, binary_head: bool = False
 ) -> Callable:
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+        xs = x if isinstance(x, tuple) else (x,)
         variables = {"params": state.params}
         if has_batch_stats:
             variables["batch_stats"] = state.batch_stats
-        logits = state.apply_fn(variables, x, train=False)
+        logits = state.apply_fn(variables, *xs, train=False)
         loss = loss_fn(logits, y)
         if binary_head:
             preds = (logits.reshape(-1) > 0).astype(jnp.int32)

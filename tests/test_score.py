@@ -60,8 +60,10 @@ def test_fused_scores_match_per_sample_reference(rng):
         if frames.size == 0:
             expected = 0.5
         else:
-            llr = sk1.score(frames) - sk2.score(frames)
-            expected = 0.5 * p_bilstm + 0.5 / (1 + np.exp(-llr))
+            # spoof-polarity LLR (see score/fused.py docstring on the
+            # reference's inverted genuine-polarity term)
+            llr_spoof = sk2.score(frames) - sk1.score(frames)
+            expected = 0.5 * p_bilstm + 0.5 / (1 + np.exp(-llr_spoof))
         np.testing.assert_allclose(ours[i], expected, rtol=1e-4, atol=1e-5)
 
 

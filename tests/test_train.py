@@ -173,3 +173,24 @@ def test_bilstm_pipeline_smoke(rng, tmp_path):
     assert (cfg_dir / "best_model.msgpack").exists()
     assert (cfg_dir / "worst_model.msgpack").exists()
     assert (cfg_dir / "metrics.json").exists()
+
+
+def test_multi_input_training(rng):
+    """MoreFeaturesClassifier (3 feature maps) trains through the same step."""
+    from audioanalysisdetector_tpu.models.resnet import MoreFeaturesClassifier
+
+    n = 16
+    xs = tuple(
+        jnp.asarray(rng.standard_normal((n, 10, 12)).astype(np.float32)) for _ in range(3)
+    )
+    y = np.asarray(rng.integers(0, 2, n), dtype=np.int64)
+    model = MoreFeaturesClassifier()
+    v = model.init(jax.random.PRNGKey(0), *xs, train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=v["params"],
+        tx=make_optimizer("Adam", 1e-3), batch_stats=v["batch_stats"],
+    )
+    step = jax.jit(make_train_step(get_loss("CrossEntropyLoss")))
+    state, m = step(state, xs, jnp.asarray(y), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(state.step) == 1
