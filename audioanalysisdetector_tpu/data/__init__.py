@@ -37,6 +37,11 @@ from audioanalysisdetector_tpu.data.pipeline import (
     extract_features,
 )
 from audioanalysisdetector_tpu.data.scaler import FrameScaler, prepare_train_test_data
+from audioanalysisdetector_tpu.data.shape_utils import (
+    build_X_from_df,
+    prepare_data_gmm_bilstm,
+    to_array_safe,
+)
 
 __all__ = [
     "AUG_CODES",
@@ -47,6 +52,9 @@ __all__ = [
     "balance_downsample",
     "balance_upsample",
     "bucket_for",
+    "build_X_from_df",
+    "prepare_data_gmm_bilstm",
+    "to_array_safe",
     "bucketed_batches",
     "make_bucket_ladder",
     "chunk_rows",

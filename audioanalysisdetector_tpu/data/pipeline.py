@@ -69,8 +69,11 @@ def extract_feature_array(
     aug_col: str = "augmentationType",
     mean: bool = False,
     seed: int = 0,
-) -> np.ndarray:
-    """(len(df), ...) features, batched through the device."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """((len(df), ...) features, (len(df),) ok-mask), batched through the
+    device. Rows whose audio could not be decoded carry zero features and
+    ``ok=False`` — the reference's failure->None policy, applied by
+    ``extract_features`` as None cells for ``filtr_nan`` to drop."""
     paths = df[path_col].tolist()
     starts = df.get("chunk_start", pd.Series([0.0] * len(df))).tolist()
     ends = df.get("chunk_end", pd.Series([2.0] * len(df))).tolist()
@@ -90,11 +93,13 @@ def extract_feature_array(
         return _finish(feature_fn(apply_augmentations(wav, aug, key)))
 
     key = jax.random.PRNGKey(seed)
-    outs = []
+    outs, oks = [], []
     for lo in range(0, len(paths), batch_size):
         hi = min(lo + batch_size, len(paths))
         true = hi - lo
-        wav = load_chunk_batch(paths[lo:hi], starts[lo:hi], ends[lo:hi], sr=sr)
+        wav, ok = load_chunk_batch(
+            paths[lo:hi], starts[lo:hi], ends[lo:hi], sr=sr, return_ok=True
+        )
         if true < batch_size:
             wav = np.concatenate(
                 [wav, np.zeros((batch_size - true,) + wav.shape[1:], np.float32)]
@@ -107,7 +112,10 @@ def extract_feature_array(
         else:
             feats = run_plain(jnp.asarray(wav))
         outs.append(np.asarray(feats)[:true])
-    return np.concatenate(outs) if outs else np.empty((0,))
+        oks.append(ok)
+    if not outs:
+        return np.empty((0,)), np.empty((0,), bool)
+    return np.concatenate(outs), np.concatenate(oks)
 
 
 def extract_features(
@@ -128,9 +136,11 @@ def extract_features(
         feature_extractors_map = {n: registry[n] for n in feature_extractors_map}
     df = df.copy()
     for name, fn in feature_extractors_map.items():
-        arr = extract_feature_array(
+        arr, ok = extract_feature_array(
             df, fn, sr=sr, batch_size=batch_size, path_col=col_name,
             aug_col=aug_col, mean=mean, seed=seed,
         )
-        df[name] = list(arr)
+        # failed rows become None cells (reference error policy, §2.1) so
+        # data.filtr_nan drops them downstream
+        df[name] = [a if good else None for a, good in zip(arr, ok)]
     return df

@@ -98,13 +98,17 @@ def load_chunk_batch_native(
     *,
     sr: int = 16000,
     n_threads: int = 0,
-) -> np.ndarray:
+    return_ok: bool = False,
+) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Threaded native batch fill -> (B, n_samples) float32.
 
-    Rows the native decoder rejects fall back to the Python loader.
+    Rows the native decoder rejects fall back to the Python loader; with
+    ``return_ok`` a boolean per-row success mask is returned too (feeds the
+    reference's failure->None->filtr_nan policy).
     """
     n = int(round((chunk_ends[0] - chunk_starts[0]) * sr))
     out = np.zeros((len(paths), n), dtype=np.float32)
+    ok = np.ones(len(paths), dtype=bool)
     lib = get_lib()
     todo = list(range(len(paths)))
     if lib is not None:
@@ -131,5 +135,7 @@ def load_chunk_batch_native(
             )
             out[i, : min(len(y), n)] = y[:n]
         except (RuntimeError, OSError, EOFError, ValueError, wave.Error):
-            pass  # leave zeros (the reference drops unreadable rows upstream)
+            ok[i] = False  # row left zeroed; caller may drop it (filtr_nan)
+    if return_ok:
+        return out, ok
     return out

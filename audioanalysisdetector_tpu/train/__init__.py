@@ -14,6 +14,11 @@ from audioanalysisdetector_tpu.train.loop import (
     evaluate,
     fit,
 )
+from audioanalysisdetector_tpu.train.gmm_system import (
+    load_bilstm_model,
+    load_gmm_models,
+    train_gmm_system,
+)
 from audioanalysisdetector_tpu.train.losses import LOSSES, get_loss
 from audioanalysisdetector_tpu.train.metrics import (
     accuracy,
@@ -52,6 +57,9 @@ __all__ = [
     "f1_macro",
     "fit",
     "get_loss",
+    "load_bilstm_model",
+    "load_gmm_models",
+    "train_gmm_system",
     "make_dp_train_step",
     "make_eval_step",
     "make_optimizer",

@@ -78,3 +78,28 @@ def load_gmm_models(model_dir: str) -> tuple[DiagGMM, DiagGMM, DiagGMM]:
         with np.load(os.path.join(model_dir, f"{name}.npz")) as z:
             out.append(from_numpy({k: z[k] for k in z.files}))
     return tuple(out)
+
+
+def load_bilstm_model(model_dir: str, hidden: int = 128, input_dim: int = 19):
+    """Convenience loader for a trained BiLSTM checkpoint
+    (the reference's ``load_bilstm_model``, reference/ASV_dl_func.py:1768-1773):
+    returns (model, variables) ready for the fused scorer."""
+    import glob
+    import os as _os
+
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
+    from audioanalysisdetector_tpu.train.checkpoint import load_payload
+
+    candidates = sorted(
+        glob.glob(_os.path.join(model_dir, "**", "best_model.msgpack"), recursive=True)
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no best_model.msgpack under {model_dir}")
+    payload = load_payload(candidates[0])
+    model = BiLSTMClassifier(hidden=hidden)
+    # shape-check against a fresh init (raises early on geometry mismatch)
+    model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, input_dim)), train=False)
+    return model, {"params": payload["params"]}

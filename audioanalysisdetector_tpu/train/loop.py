@@ -164,6 +164,18 @@ def fit(
         os.makedirs(run_dir, exist_ok=True)
         with open(os.path.join(run_dir, "training_log.csv"), "w") as f:
             f.write("\n".join(csv_rows) + "\n")
+        # human-readable txt log (the reference's per-run training_log.txt,
+        # reference/ASV_dl_func.py:1239-1243, 1348-1361)
+        with open(os.path.join(run_dir, "training_log.txt"), "w") as f:
+            f.write(f"Training | loss: {loss_name} | epochs: {num_epochs} "
+                    f"| batch: {batch_size}\n" + "=" * 80 + "\n")
+            for row in logs:
+                f.write(
+                    f"epoch {row.epoch}: train loss {row.train_loss:.6f} "
+                    f"acc {row.train_acc:.4f} | val loss {row.val_loss:.6f} "
+                    f"acc {row.val_acc:.4f} ({row.seconds:.2f}s)\n"
+                )
+            f.write(f"best epoch: {best_epoch} (val loss {best_val:.6f})\n")
         with open(os.path.join(run_dir, "logs.json"), "w") as f:
             json.dump([row.__dict__ for row in logs], f, indent=2)
         save_checkpoint(os.path.join(run_dir, "final_model.msgpack"), state)

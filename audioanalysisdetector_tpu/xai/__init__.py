@@ -22,6 +22,10 @@ from audioanalysisdetector_tpu.xai.lime import (
     signal_segmentation,
 )
 from audioanalysisdetector_tpu.xai.shap_gmm import gmm_shap, time_windows
+from audioanalysisdetector_tpu.xai.visualize import (
+    visualize_feature_perturbation,
+    visualize_segment_perturbation,
+)
 
 __all__ = [
     "bilstm_heatmaps",
@@ -41,4 +45,6 @@ __all__ = [
     "saliency",
     "signal_segmentation",
     "time_windows",
+    "visualize_feature_perturbation",
+    "visualize_segment_perturbation",
 ]
