@@ -36,7 +36,11 @@ from audioanalysisdetector_tpu.data.pipeline import (
     extract_feature_array,
     extract_features,
 )
-from audioanalysisdetector_tpu.data.scaler import FrameScaler, prepare_train_test_data
+from audioanalysisdetector_tpu.data.scaler import (
+    FrameScaler,
+    prepare_train_test_data,
+    prepare_train_test_data_multi,
+)
 from audioanalysisdetector_tpu.data.shape_utils import (
     build_X_from_df,
     prepare_data_gmm_bilstm,
@@ -68,6 +72,7 @@ __all__ = [
     "prepare_dirs_dataset",
     "prepare_filepaths",
     "prepare_train_test_data",
+    "prepare_train_test_data_multi",
     "read_metadata",
     "resample_to",
     "spec_augment",

@@ -63,3 +63,31 @@ def prepare_train_test_data(
     if scaler_path:
         scaler.save(scaler_path)
     return tr, te, scaler
+
+
+def prepare_train_test_data_multi(
+    train_df,
+    test_df,
+    feature_cols: list[str],
+    *,
+    model_dir: str | None = None,
+) -> tuple:
+    """Per-feature scalers over DataFrame cells (the reference's
+    ``prepare_train_test_data_multi``, reference/ASV_dl_func.py:1090-1110):
+    fit each feature's scaler on the vstack of its train cells, transform
+    both splits in place, persist one npz per feature."""
+    import os
+
+    train_df = train_df.copy()
+    test_df = test_df.copy()
+    scalers: dict[str, FrameScaler] = {}
+    for col in feature_cols:
+        frames = np.vstack([np.asarray(v) for v in train_df[col]])
+        scaler = FrameScaler.fit(frames)
+        train_df[col] = [np.asarray(scaler.transform(jnp.asarray(v))) for v in train_df[col]]
+        test_df[col] = [np.asarray(scaler.transform(jnp.asarray(v))) for v in test_df[col]]
+        if model_dir:
+            os.makedirs(model_dir, exist_ok=True)
+            scaler.save(os.path.join(model_dir, f"{col}_scaler.npz"))
+        scalers[col] = scaler
+    return train_df, test_df, scalers

@@ -15,6 +15,7 @@ from audioanalysisdetector_tpu.train.loop import (
     fit,
 )
 from audioanalysisdetector_tpu.train.gmm_system import (
+    eval_model,
     load_bilstm_model,
     load_gmm_models,
     train_gmm_system,
@@ -52,6 +53,7 @@ __all__ = [
     "eer",
     "eer_jnp",
     "eer_threshold",
+    "eval_model",
     "evaluate",
     "f1_binary",
     "f1_macro",

@@ -228,3 +228,13 @@ def run_extensive_gridsearch(
     df_res.to_csv(os.path.join(out_dir, "gridsearch_summary.csv"), index=False)
     top.to_csv(os.path.join(out_dir, f"top_{top_k}_models.csv"), index=False)
     return top, df_res
+
+
+def train_gridsearch(X_train, y_train, *, param_grid=None, cv: int = 3):
+    """Small SVC grid search (the reference's ``train_gridsearch``,
+    reference/xai_func.py:18-36): returns the fitted GridSearchCV."""
+    if param_grid is None:
+        param_grid = {"C": [0.1, 1, 10], "kernel": ["rbf", "linear"], "gamma": ["scale"]}
+    grid = GridSearchCV(SVC(probability=True, random_state=42), param_grid, cv=cv)
+    grid.fit(X_train, y_train)
+    return grid

@@ -103,3 +103,46 @@ def load_bilstm_model(model_dir: str, hidden: int = 128, input_dim: int = 19):
     # shape-check against a fresh init (raises early on geometry mismatch)
     model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, input_dim)), train=False)
     return model, {"params": payload["params"]}
+
+
+def eval_model(
+    bilstm_apply,
+    bilstm_variables: dict,
+    train_seqs: np.ndarray | None,
+    train_labels: np.ndarray | None,
+    test_seqs: np.ndarray,
+    test_labels: np.ndarray,
+    *,
+    model_dir: str = "GMM-BiLSTM",
+    use_saved_models: bool = True,
+    n_components: int = 128,
+    batch_size: int = 512,
+    verbose: bool = True,
+):
+    """The reference's ``eval_model`` orchestration
+    (reference/ASV_dl_func.py:1467-1515): load saved per-class GMMs if
+    present (else train them from the train split), then run the batched
+    fused scorer over the test set. Returns (y_true, y_pred, metrics)."""
+    from audioanalysisdetector_tpu.score.fused import eval_fused, make_fused_scorer
+
+    have_saved = use_saved_models and all(
+        os.path.exists(os.path.join(model_dir, f"{n}.npz"))
+        for n in ("gmm_genuine", "gmm_df")
+    )
+    if have_saved:
+        _, gmm_genuine, gmm_spoof = load_gmm_models(model_dir)
+    else:
+        if train_seqs is None:
+            raise ValueError("train data required to train GMMs when none are saved")
+        _, gmm_genuine, gmm_spoof = train_gmm_system(
+            train_seqs, train_labels, n_components=n_components,
+            model_dir=model_dir, verbose=verbose,
+        )
+    t0 = time.time()
+    scorer = make_fused_scorer(bilstm_apply, bilstm_variables, gmm_genuine, gmm_spoof)
+    y_true, y_pred, metrics = eval_fused(
+        scorer, test_seqs, test_labels, batch_size=batch_size
+    )
+    if verbose:
+        print(f"evaluation finished in {time.time() - t0:.2f}s: {metrics}")
+    return y_true, y_pred, metrics

@@ -115,3 +115,62 @@ def test_gmm_system_train_and_reload(tmp_path, rng):
     spoof_frames = jnp.asarray(seqs[labels == 1].reshape(-1, f))
     assert float(score(genuine_frames, g_gen)) > float(score(genuine_frames, g_spoof))
     assert float(score(spoof_frames, g_spoof)) > float(score(spoof_frames, g_gen))
+
+
+def test_eval_model_orchestration(tmp_path, rng):
+    """eval_model loads-or-trains GMMs then runs the batched fused scorer."""
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
+    from audioanalysisdetector_tpu.train.gmm_system import eval_model
+
+    n, t, f = 32, 10, 5
+    seqs = rng.standard_normal((n, t, f)).astype(np.float32)
+    labels = np.array([0] * 16 + [1] * 16)
+    seqs[labels == 1] += 1.5
+    model = BiLSTMClassifier(hidden=8)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(seqs[:1]), train=False)
+
+    md = str(tmp_path / "GMM-BiLSTM")
+    y_true, y_pred, m1 = eval_model(
+        model.apply, v, seqs, labels, seqs, labels,
+        model_dir=md, n_components=2, batch_size=16, verbose=False,
+    )
+    assert set(m1) == {"accuracy", "f1", "eer"}
+    # second call takes the saved-models path and must agree
+    _, _, m2 = eval_model(
+        model.apply, v, None, None, seqs, labels,
+        model_dir=md, batch_size=16, verbose=False,
+    )
+    assert m1 == m2
+
+
+def test_prepare_train_test_data_multi(tmp_path, rng):
+    import pandas as pd
+
+    from audioanalysisdetector_tpu.data import prepare_train_test_data_multi
+
+    tr = pd.DataFrame({
+        "cqcc": [rng.standard_normal((19, 5)) * 3 + 1 for _ in range(6)],
+        "mfcc": [rng.standard_normal((13, 5)) for _ in range(6)],
+    })
+    te = tr.iloc[:2].copy()
+    tr2, te2, scalers = prepare_train_test_data_multi(
+        tr, te, ["cqcc", "mfcc"], model_dir=str(tmp_path)
+    )
+    assert set(scalers) == {"cqcc", "mfcc"}
+    stacked = np.vstack([v for v in tr2["cqcc"]])
+    np.testing.assert_allclose(stacked.mean(0), 0, atol=1e-4)
+    import os
+
+    assert os.path.exists(tmp_path / "cqcc_scaler.npz")
+
+
+def test_train_gridsearch_simple(rng):
+    from audioanalysisdetector_tpu.train.classical import train_gridsearch
+
+    X = rng.standard_normal((40, 4))
+    y = (X[:, 0] > 0).astype(int)
+    grid = train_gridsearch(X, y, param_grid={"C": [1], "kernel": ["linear"]}, cv=2)
+    assert grid.best_score_ > 0.7
