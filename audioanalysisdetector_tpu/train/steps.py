@@ -28,18 +28,30 @@ def make_train_step(
     axis_name: str | None = None,
     has_batch_stats: bool = True,
     binary_head: bool = False,
+    augment_fn: Callable | None = None,
 ) -> Callable:
     """Build ``step(state, x, y, rng) -> (state, metrics)``.
 
     ``loss_fn(logits, labels)`` is any entry of the loss zoo. With
     ``axis_name`` the step is meant to run inside ``shard_map``; gradients,
     metrics, and updated BatchNorm stats are averaged over that axis.
+    ``augment_fn(x, rng) -> x`` runs train-time augmentation (e.g.
+    ``data.augment.spec_augment``) INSIDE the compiled step — BASELINE
+    config #3's in-pipeline masking, zero extra dispatches.
     """
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray, rng: jax.Array):
         if axis_name is not None:
             # decorrelate dropout across data-parallel shards
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+
+        if augment_fn is not None:
+            rng, aug_rng = jax.random.split(rng)
+            x = (
+                tuple(augment_fn(xi, aug_rng) for xi in x)
+                if isinstance(x, tuple)
+                else augment_fn(x, aug_rng)
+            )
 
         xs = x if isinstance(x, tuple) else (x,)  # multi-input models take tuples
 

@@ -53,12 +53,25 @@ def main() -> None:
 
     # chained iterations: each batch depends on the previous result, and the
     # final scalar fetch forces the whole chain — dispatch-only timing is
-    # impossible by construction
+    # impossible by construction. The whole iteration (perturb + score +
+    # reduce) is ONE jitted dispatch so per-call tunnel RPC overhead doesn't
+    # pollute the measurement.
+    from audioanalysisdetector_tpu.score.e2e import melspec_features
+
+    def chained_step(wav, acc):
+        feats = melspec_features(wav + acc * 1e-12, mel_cfg)
+        out = model.apply(variables, feats, train=False).reshape(-1)
+        return acc + jnp.sum(out)
+
+    chained = jax.jit(chained_step)
+    acc = jnp.zeros((), jnp.float32)
+    acc = chained(wav, acc)  # compile
+    float(acc)
+
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for _ in range(n_iters):
-        scores = scorer(wav + acc * 1e-12)
-        acc = acc + jnp.sum(scores)
+        acc = chained(wav, acc)
     float(acc)
     dt = time.perf_counter() - t0
 

@@ -194,3 +194,28 @@ def test_multi_input_training(rng):
     state, m = step(state, xs, jnp.asarray(y), jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
     assert int(state.step) == 1
+
+
+def test_train_step_with_spec_augment(rng):
+    """SpecAugment runs inside the compiled step (BASELINE config #3)."""
+    from functools import partial
+
+    from audioanalysisdetector_tpu.data.augment import spec_augment
+
+    x, y = _toy_data(rng, n=32)
+    model = CNNBiLSTMHybrid(fixed_attention=True, logits=True)
+    state = _make_state(model, x)
+    aug = partial(spec_augment, n_time_masks=1, n_freq_masks=1,
+                  max_time_width=4, max_freq_width=4)
+    step = jax.jit(make_train_step(
+        get_loss("BCELoss"), binary_head=True,
+        augment_fn=lambda xb, r: aug(xb, r),
+    ))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(15):
+        key, sub = jax.random.split(key)
+        state, m = step(state, x, y, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # still learns under masking
