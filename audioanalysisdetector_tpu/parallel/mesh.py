@@ -47,6 +47,18 @@ def initialize_distributed() -> None:
         pass  # single-host / no coordinator configured
 
 
+def process_shard(n_items: int) -> slice:
+    """This process's contiguous slice of a globally-indexed dataset.
+
+    Multi-host data loading: each host decodes only its shard; the DP mesh
+    sees the global batch as process-local arrays stacked by jax. On a
+    single process this is the identity slice.
+    """
+    p, n_p = jax.process_index(), jax.process_count()
+    per = -(-n_items // n_p)
+    return slice(p * per, min((p + 1) * per, n_items))
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, *, axis: str = "data") -> int:
     n = mesh.shape[axis]
     if global_batch % n:

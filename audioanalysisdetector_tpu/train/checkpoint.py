@@ -74,6 +74,50 @@ def save_params(path: str, params: Any) -> None:
         f.write(serialization.to_bytes(_to_host(params)))
 
 
+# ------------------------------------------------------------- orbax backend
+
+
+def save_checkpoint_orbax(directory: str, state: Any, *, step: int | None = None) -> str:
+    """Persist via orbax (sharding-aware, async-capable production path).
+
+    msgpack remains the default lightweight format; orbax is for multi-host
+    runs where each process writes its own shards.
+    """
+    import orbax.checkpoint as ocp
+
+    directory = os.path.abspath(directory)
+    step = int(state.step) if step is None else step
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = {
+            "step": _to_host(state.step),
+            "params": _to_host(state.params),
+            "batch_stats": _to_host(state.batch_stats),
+            "opt_state": _to_host(state.opt_state),
+        }
+        path = os.path.join(directory, f"step_{step}")
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def restore_checkpoint_orbax(path: str, state: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    template = {
+        "step": np.asarray(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path), template)
+    return state.replace(
+        step=payload["step"],
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=payload["opt_state"],
+    )
+
+
 def restore_params(path: str, template: Any) -> Any:
     with open(path, "rb") as f:
         return serialization.from_bytes(_to_host(template), f.read())

@@ -32,8 +32,8 @@ def main() -> None:
     from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
 
     sr, seconds = 16000, 2
-    batch = 4096
-    n_iters = 20
+    batch = 8192
+    n_iters = 15
 
     rng = np.random.default_rng(0)
     wav_host = (rng.standard_normal((batch, sr * seconds)) * 0.1).astype(np.float32)

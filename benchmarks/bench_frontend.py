@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Per-extractor frontend throughput on device-resident 2-s waveform batches."""
+"""Per-extractor frontend throughput on device-resident 2-s waveform batches.
+
+Timing is execution-forced: every iteration is one jitted dispatch that
+consumes the previous iteration's scalar accumulator, and the final value is
+fetched (on remote TPU runtimes block_until_ready does not block).
+"""
 
 import json
 import os
@@ -18,19 +23,23 @@ def main() -> None:
     from audioanalysisdetector_tpu.data.pipeline import default_extractors
 
     B = 2048
-    wav = jax.block_until_ready(
-        jax.random.normal(jax.random.PRNGKey(0), (B, 32000), jnp.float32) * 0.1
-    )
+    n_iters = 8
+    wav = jax.random.normal(jax.random.PRNGKey(0), (B, 32000), jnp.float32) * 0.1
     results = {}
     for name, fn in default_extractors(16000).items():
-        jitted = jax.jit(fn)
-        jax.block_until_ready(jitted(wav))  # compile
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            jax.block_until_ready(jitted(wav))
-            times.append(time.perf_counter() - t0)
-        dt = float(np.median(times))
+        def step(w, acc, fn=fn):
+            out = fn(w + acc * 1e-12)
+            return acc + jnp.sum(out, dtype=jnp.float32)
+
+        chained = jax.jit(step)
+        acc = chained(wav, jnp.zeros((), jnp.float32))
+        float(acc)  # compile + force
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(n_iters):
+            acc = chained(wav, acc)
+        float(acc)
+        dt = (time.perf_counter() - t0) / n_iters
         results[name] = {"ms_per_batch": round(dt * 1e3, 2), "utt_per_sec": round(B / dt)}
     print(json.dumps(results, indent=2))
 

@@ -53,3 +53,10 @@ def test_sharded_llr_4way_model_axis(rng):
     fn = make_sharded_masked_llr(mesh, g1, g2)
     out = np.asarray(fn(jnp.asarray(x), jnp.asarray(mask)))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_process_shard_single_host():
+    from audioanalysisdetector_tpu.parallel.mesh import process_shard
+
+    s = process_shard(100)
+    assert (s.start, s.stop) == (0, 100)  # single-process identity

@@ -219,3 +219,24 @@ def test_train_step_with_spec_augment(rng):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]  # still learns under masking
+
+
+def test_orbax_checkpoint_roundtrip(rng, tmp_path):
+    from audioanalysisdetector_tpu.train.checkpoint import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    x, y = _toy_data(rng, n=8)
+    model = CNNBiLSTMHybrid(fixed_attention=True, logits=True)
+    state = _make_state(model, x)
+    step = jax.jit(make_train_step(get_loss("BCELoss"), binary_head=True))
+    state, _ = step(state, x, y, jax.random.PRNGKey(0))
+    path = save_checkpoint_orbax(str(tmp_path / "orbax"), state)
+    fresh = _make_state(model, x)
+    restored = restore_checkpoint_orbax(path, fresh)
+    assert int(restored.step) == 1
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
