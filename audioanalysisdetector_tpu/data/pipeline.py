@@ -31,6 +31,7 @@ from audioanalysisdetector_tpu.frontend import (
     lfcc,
     log_mel_spectrogram,
     mfcc,
+    mfcc_deltas_cmvn,
     wpt_energies,
 )
 from audioanalysisdetector_tpu.io.native_loader import (
@@ -47,6 +48,11 @@ def default_extractors(sr: int = 16000) -> dict[str, Callable]:
         "gtcc": lambda w: gfcc(w, CepstralConfig(fs=sr, nfilts=40, fb_kind="gammatone")),
         "wpt": wpt_energies,
         "mel_spectrogram": lambda w: log_mel_spectrogram(w, MelConfig(sr=sr, n_mels=64)),
+        # BASELINE config #2: MFCC + delta/delta-delta + per-utterance CMVN.
+        # Needs >= 9 frames (chunks >= ~0.26 s) for the Savitzky-Golay deltas;
+        # incompatible with mean=True pooling (CMVN makes time means zero) —
+        # extract_features guards both.
+        "mfcc_deltas": lambda w: mfcc_deltas_cmvn(w, MFCCConfig.for_sr(sr)),
     }
 
 
@@ -134,6 +140,12 @@ def extract_features(
     if isinstance(feature_extractors_map, list):
         registry = default_extractors(sr)
         feature_extractors_map = {n: registry[n] for n in feature_extractors_map}
+    if mean and "mfcc_deltas" in feature_extractors_map:
+        raise ValueError(
+            "mfcc_deltas is CMVN-normalized per utterance: its time mean is "
+            "identically zero, so mean=True pooling would yield all-zero "
+            "features — pool plain 'mfcc' instead"
+        )
     df = df.copy()
     for name, fn in feature_extractors_map.items():
         arr, ok = extract_feature_array(

@@ -176,3 +176,16 @@ def test_config_env_resolver(monkeypatch):
     cfg = loads_config("paths:\n  a: ${env:MYVAR,/default}\n  b: ${env:UNSET_VAR,/default}\n")
     assert cfg.paths.a == "/real/path"
     assert cfg.paths.b == "/default"
+
+
+def test_mfcc_deltas_registry_and_mean_guard(corpus):
+    _, meta, audio_dir = corpus
+    df = chunk_rows(
+        prepare_filepaths(read_metadata(meta), audio_dir, extension=".wav"),
+        verbose=False,
+    )
+    out = extract_features(df.iloc[:4], ["mfcc_deltas"], batch_size=4)
+    assert out["mfcc_deltas"].iloc[0].shape == (39, 63)
+    # CMVN makes time means zero -> mean pooling must refuse loudly
+    with pytest.raises(ValueError, match="mean"):
+        extract_features(df.iloc[:4], ["mfcc_deltas"], batch_size=4, mean=True)
