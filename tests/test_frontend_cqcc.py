@@ -101,3 +101,10 @@ def test_cqcc_batched_matches_single(rng):
     batched = np.asarray(cqcc(jnp.asarray(y)))
     single = np.asarray(cqcc(jnp.asarray(y[1])))
     np.testing.assert_allclose(batched[1], single, rtol=1e-4, atol=1e-4)
+
+
+def test_cqt_rejects_bad_lengths():
+    with np.testing.assert_raises(ValueError):
+        cqt(jnp.zeros(32001))  # not divisible by 2**(n_octaves-1)
+    with np.testing.assert_raises(ValueError):
+        cqt(jnp.zeros(32000), CQTConfig(hop_length=100))  # hop not divisible

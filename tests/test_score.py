@@ -118,3 +118,10 @@ def test_graft_entry_and_dryrun():
     out = _jax.jit(fn)(*args)
     assert out.shape == (args[0].shape[0],)
     ge.dryrun_multichip(8)  # 8 virtual CPU devices from conftest
+
+
+def test_dryrun_other_device_counts():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(2)
+    ge.dryrun_multichip(4)
