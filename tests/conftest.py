@@ -18,6 +18,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: test time is dominated by CPU XLA compiles,
+# which are identical across runs (cache is keyed by HLO hash — safe)
+jax.config.update("jax_compilation_cache_dir", "/tmp/aad_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # Parity mode: float32 matmuls at full precision so golden comparisons
 # against float64 numpy references are meaningful.
 jax.config.update("jax_default_matmul_precision", "highest")
