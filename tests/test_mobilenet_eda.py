@@ -91,3 +91,21 @@ def test_plot_histograms(tmp_path, rng):
     import os
 
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_mobilenet_trains_one_step(rng):
+    """The notebook's train_loop_mfca role: MobileNetMFCA through the
+    generic jitted train step."""
+    from audioanalysisdetector_tpu.train import TrainState, get_loss, make_optimizer, make_train_step
+
+    x = jnp.asarray(rng.standard_normal((4, 64, 64)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 2, 4))
+    model = MobileNetMFCA()
+    v = model.init(jax.random.PRNGKey(0), x, train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=v["params"],
+        tx=make_optimizer("Adam", 1e-4), batch_stats=v["batch_stats"],
+    )
+    step = jax.jit(make_train_step(get_loss("CrossEntropyLoss")))
+    state, m = step(state, x, y, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
