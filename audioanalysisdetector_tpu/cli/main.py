@@ -198,7 +198,14 @@ def cmd_xai(args) -> int:
 
     from audioanalysisdetector_tpu.frontend.mel import MelConfig, log_mel_spectrogram
     from audioanalysisdetector_tpu.models.resnet import AntiSpoofingResNet
-    from audioanalysisdetector_tpu.xai import grad_cam, plot_heatmaps, saliency
+    from audioanalysisdetector_tpu.xai import (
+        grad_cam,
+        integrated_gradients,
+        lime_single_instance,
+        occlusion,
+        plot_heatmaps,
+        saliency,
+    )
 
     paths = _collect_wavs(args.audio)[:1]
     if not paths:
@@ -212,11 +219,36 @@ def cmd_xai(args) -> int:
     feats = log_mel_spectrogram(jnp.asarray(wav), mel_cfg)
     model = AntiSpoofingResNet()
     variables = model.init(jax.random.PRNGKey(0), feats, train=False)
-    sal = saliency(model.apply, variables, feats)
-    cam = grad_cam(model, variables, feats, output_size=feats.shape[-2:])
+
+    methods = args.methods.split(",")
+    heatmaps = {}
+    if "saliency" in methods:
+        heatmaps["saliency"] = np.asarray(saliency(model.apply, variables, feats)[0])
+    if "gradcam" in methods:
+        cam = grad_cam(model, variables, feats, output_size=feats.shape[-2:])
+        heatmaps["grad_cam"] = np.asarray(cam[0])
+    if "ig" in methods:
+        ig = integrated_gradients(model.apply, variables, feats, steps=args.ig_steps)
+        heatmaps["integrated_gradients"] = np.abs(np.asarray(ig[0]))
+    if "occlusion" in methods:
+        occ = occlusion(model.apply, variables, feats, window=(5, 1))
+        heatmaps["occlusion"] = np.asarray(occ[0])
+    if "lime" in methods:
+        def scorer(batch):
+            logits = model.apply(variables, batch, train=False)
+            return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+        lime = lime_single_instance(
+            scorer, np.asarray(feats[0]), n_perturbations=args.lime_perturbations,
+        )
+        print(json.dumps({
+            "lime_top_components": lime["top_components"],
+            "lime_score": lime["score"],
+            "lime_label": lime["label"],
+        }))
     out = plot_heatmaps(
-        {"saliency": np.asarray(sal[0]), "grad_cam": np.asarray(cam[0])},
-        args.output_dir, prefix=os.path.splitext(os.path.basename(paths[0]))[0],
+        heatmaps, args.output_dir,
+        prefix=os.path.splitext(os.path.basename(paths[0]))[0],
     )
     print("\n".join(out))
     return 0
@@ -329,10 +361,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--run-dir", default="runs/cnn_bilstm")
     sp.set_defaults(fn=cmd_train)
 
-    sp = sub.add_parser("xai", help="saliency + Grad-CAM heatmaps")
+    sp = sub.add_parser("xai", help="attribution heatmaps for one WAV")
     common(sp)
     sp.add_argument("--n-mels", type=int, default=64)
     sp.add_argument("--output-dir", default="xai_out")
+    sp.add_argument("--methods", default="saliency,gradcam",
+                    help="comma list: saliency,gradcam,ig,occlusion,lime")
+    sp.add_argument("--ig-steps", type=int, default=20)
+    sp.add_argument("--lime-perturbations", type=int, default=30)
     sp.set_defaults(fn=cmd_xai)
 
     sp = sub.add_parser("train-fused", help="GMM(+)BiLSTM flagship system")

@@ -88,3 +88,17 @@ def test_cli_train_then_score_checkpoint(corpus, tmp_path, capsys):
     assert main(["score", corpus, "--checkpoint", ckpt]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) == 12
+
+
+def test_cli_xai_all_methods(corpus, tmp_path, capsys):
+    out_dir = str(tmp_path / "xai_all")
+    assert main([
+        "xai", corpus, "--output-dir", out_dir,
+        "--methods", "saliency,gradcam,ig,occlusion,lime",
+        "--ig-steps", "4", "--lime-perturbations", "8",
+    ]) == 0
+    files = os.listdir(out_dir)
+    for name in ("saliency", "grad_cam", "integrated_gradients", "occlusion"):
+        assert any(name in f for f in files), (name, files)
+    out = capsys.readouterr().out
+    assert "lime_top_components" in out
