@@ -4,5 +4,11 @@ from audioanalysisdetector_tpu.ops.fused_logmel import (
     fused_log_mel_spectrogram,
     fused_mel_from_frames,
 )
+from audioanalysisdetector_tpu.ops.wave_mel import wave_log_mel, wave_mel
 
-__all__ = ["fused_log_mel_spectrogram", "fused_mel_from_frames"]
+__all__ = [
+    "fused_log_mel_spectrogram",
+    "fused_mel_from_frames",
+    "wave_log_mel",
+    "wave_mel",
+]

@@ -52,3 +52,13 @@ def test_fused_mel_bf16_close(rng):
     # bf16 inputs, f32 accumulation: relative error bounded by input rounding
     rel = np.abs(bf16 - f32) / np.maximum(np.abs(f32), 1e-3)
     assert np.median(rel) < 0.02
+
+
+def test_wave_direct_mel_matches_xla_path(rng):
+    from audioanalysisdetector_tpu.ops.wave_mel import wave_log_mel
+
+    cfg = MelConfig(sr=16000, n_mels=64)
+    y = jnp.asarray((rng.standard_normal((8, 32000)) * 0.1).astype(np.float32))
+    ref = np.asarray(log_mel_spectrogram(y, cfg))
+    out = np.asarray(wave_log_mel(y, cfg, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
