@@ -154,9 +154,13 @@ def cqt(y: jnp.ndarray, cfg: CQTConfig = CQTConfig()) -> jnp.ndarray:
         raise ValueError(
             f"hop_length {cfg.hop_length} must be divisible by 2**(n_octaves-1)={div}"
         )
-    if y.shape[-1] % div:
-        raise ValueError(f"signal length {y.shape[-1]} must be divisible by {div}")
     n_frames = 1 + y.shape[-1] // cfg.hop_length
+    if y.shape[-1] % div:
+        # zero-pad to the decimation-chain divisor; frame count keeps the
+        # original length's contract, so the pad only backs the tail frame's
+        # window (librosa zero-pads the signal for CQT as well)
+        pad = div - y.shape[-1] % div
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, pad)])
     lead = y.shape[:-1]
     cur = y
     octs: list[jnp.ndarray] = []

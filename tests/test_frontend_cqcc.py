@@ -103,8 +103,30 @@ def test_cqcc_batched_matches_single(rng):
     np.testing.assert_allclose(batched[1], single, rtol=1e-4, atol=1e-4)
 
 
-def test_cqt_rejects_bad_lengths():
-    with np.testing.assert_raises(ValueError):
-        cqt(jnp.zeros(32001))  # not divisible by 2**(n_octaves-1)
+def test_cqt_handles_arbitrary_lengths_and_bad_hop():
+    # non-divisible lengths are auto-padded; frame count keeps the contract
+    out = cqt(jnp.zeros(32001))
+    assert out.shape == (84, 1 + 32001 // 512)
     with np.testing.assert_raises(ValueError):
         cqt(jnp.zeros(32000), CQTConfig(hop_length=100))  # hop not divisible
+
+
+def test_cqcc_at_22050(rng):
+    """The reference's librosa default rate: 2 s @ 22050 = 44100 samples
+    (not divisible by the decimation chain) must still yield the contract
+    frame count."""
+    from audioanalysisdetector_tpu.frontend.cqcc import CQCCConfig as _C
+
+    y = jnp.asarray(rng.standard_normal((2, 44100)).astype(np.float32) * 0.1)
+    cfg = _C.for_sr(22050)
+    out = np.asarray(cqcc(y, cfg))
+    assert out.shape == (2, 19, 1 + 44100 // 512)
+    assert np.isfinite(out).all()
+
+
+def test_tone_peak_survives_auto_padding():
+    freqs = cqt_frequencies(84, C1_HZ)
+    k = 42
+    y = tone(freqs[k], n=32000 - 63)  # force padding
+    mag = np.asarray(cqt(jnp.asarray(y)))
+    assert abs(int(np.argmax(mag[:, 30])) - k) <= 1

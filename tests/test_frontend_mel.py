@@ -89,3 +89,13 @@ def test_log_mel_end_to_end_contract(rng):
             np_ref.melspectrogram_ref(y[i], 16000, n_mels=64), ref="max"
         )
         np.testing.assert_allclose(out[i], ref, rtol=1e-3, atol=1e-2)
+
+
+def test_mel_parity_at_22050(rng):
+    """librosa's default sample rate — parity must hold across rates."""
+    y = (rng.standard_normal(44100) * 0.1).astype(np.float32)
+    cfg = MelConfig(sr=22050, n_mels=64)
+    ours = np.asarray(melspectrogram(jnp.asarray(y), cfg))
+    ref = np_ref.melspectrogram_ref(y, 22050, n_mels=64)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
