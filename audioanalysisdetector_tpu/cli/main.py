@@ -250,6 +250,18 @@ def cmd_xai(args) -> int:
         heatmaps, args.output_dir,
         prefix=os.path.splitext(os.path.basename(paths[0]))[0],
     )
+    if args.html:
+        from audioanalysisdetector_tpu.xai import write_explanation_html
+
+        probs = jax.nn.softmax(model.apply(variables, feats, train=False), axis=-1)
+        out.append(
+            write_explanation_html(
+                os.path.join(args.output_dir, "explanation.html"),
+                score=float(probs[0, 1]),
+                heatmaps=heatmaps,
+                title=f"Explanation: {os.path.basename(paths[0])}",
+            )
+        )
     print("\n".join(out))
     return 0
 
@@ -369,6 +381,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma list: saliency,gradcam,ig,occlusion,lime")
     sp.add_argument("--ig-steps", type=int, default=20)
     sp.add_argument("--lime-perturbations", type=int, default=30)
+    sp.add_argument("--html", action="store_true",
+                    help="also write a self-contained explanation.html")
     sp.set_defaults(fn=cmd_xai)
 
     sp = sub.add_parser("train-fused", help="GMM(+)BiLSTM flagship system")

@@ -21,6 +21,7 @@ from audioanalysisdetector_tpu.xai.lime import (
     perturb_segments,
     signal_segmentation,
 )
+from audioanalysisdetector_tpu.xai.report import write_explanation_html
 from audioanalysisdetector_tpu.xai.shap_gmm import gmm_shap, time_windows
 from audioanalysisdetector_tpu.xai.visualize import (
     visualize_feature_perturbation,
@@ -47,4 +48,5 @@ __all__ = [
     "time_windows",
     "visualize_feature_perturbation",
     "visualize_segment_perturbation",
+    "write_explanation_html",
 ]

@@ -102,3 +102,12 @@ def test_cli_xai_all_methods(corpus, tmp_path, capsys):
         assert any(name in f for f in files), (name, files)
     out = capsys.readouterr().out
     assert "lime_top_components" in out
+
+
+def test_cli_xai_html_report(corpus, tmp_path, capsys):
+    out_dir = str(tmp_path / "xai_html")
+    assert main(["xai", corpus, "--output-dir", out_dir, "--html"]) == 0
+    html_path = os.path.join(out_dir, "explanation.html")
+    assert os.path.exists(html_path)
+    doc = open(html_path).read()
+    assert "data:image/png;base64," in doc and "score" in doc
