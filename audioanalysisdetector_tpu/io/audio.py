@@ -6,7 +6,9 @@ reference/ASV_dl_func.py:406, :195. Neither library exists in this
 environment; WAV decode is implemented directly on the stdlib ``wave``
 reader (integer PCM 8/16/24/32-bit; stdlib ``wave`` rejects IEEE-float
 WAVs before we see them — those decode via the native C++ loader or the
-optional ``soundfile`` import, as does FLAC).
+optional ``soundfile`` import). FLAC — the container the reference's
+ASVspoof corpora actually use — decodes through the in-repo codec
+(``io/flac.py`` fallback, ``native/flacdec.cpp`` hot path).
 
 Decode stays on the host by design (SURVEY.md §2.5); everything downstream
 of the float32 waveform batch is on-device.
@@ -38,11 +40,16 @@ def audio_info(path: str) -> AudioInfo:
     if ext == ".wav":
         with wave.open(path, "rb") as w:
             return AudioInfo(w.getnframes(), w.getframerate(), w.getnchannels())
+    if ext == ".flac":
+        from audioanalysisdetector_tpu.io.flac import flac_stream_info
+
+        si = flac_stream_info(path)
+        return AudioInfo(si.total_samples, si.sample_rate, si.channels)
     sf = _soundfile()
     if sf is not None:
         info = sf.info(path)
         return AudioInfo(int(info.frames), int(info.samplerate), int(info.channels))
-    raise RuntimeError(f"cannot probe {path!r}: non-WAV requires soundfile")
+    raise RuntimeError(f"cannot probe {path!r}: unsupported container")
 
 
 def _soundfile():
@@ -94,10 +101,14 @@ def load_audio(
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         y, native_sr = _decode_wav(path)
+    elif ext == ".flac":
+        from audioanalysisdetector_tpu.io.flac import read_flac
+
+        y, native_sr = read_flac(path)
     else:
         sf = _soundfile()
         if sf is None:
-            raise RuntimeError(f"cannot decode {path!r}: non-WAV requires soundfile")
+            raise RuntimeError(f"cannot decode {path!r}: unsupported container")
         y, native_sr = sf.read(path, dtype="float32", always_2d=False)
         if y.ndim > 1:
             y = y.mean(axis=1)

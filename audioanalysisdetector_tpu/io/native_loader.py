@@ -20,7 +20,10 @@ import numpy as np
 from audioanalysisdetector_tpu.io.audio import AudioInfo, load_audio
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SRC = os.path.abspath(os.path.join(_NATIVE_DIR, "wavloader.cpp"))
+_SRCS = [
+    os.path.abspath(os.path.join(_NATIVE_DIR, "wavloader.cpp")),
+    os.path.abspath(os.path.join(_NATIVE_DIR, "flacdec.cpp")),
+]
 _LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libwavloader.so"))
 
 _lock = threading.Lock()
@@ -32,7 +35,7 @@ def _build() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", _LIB],
+             *_SRCS, "-o", _LIB],
             check=True, capture_output=True, timeout=120,
         )
         return True
@@ -48,18 +51,26 @@ def get_lib() -> ctypes.CDLL | None:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not os.path.exists(_SRC) or not _build():
+        stale = not os.path.exists(_LIB) or any(
+            os.path.getmtime(_LIB) < os.path.getmtime(s)
+            for s in _SRCS
+            if os.path.exists(s)
+        )
+        if stale:
+            if not all(os.path.exists(s) for s in _SRCS) or not _build():
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_LIB)
-        lib.wav_info.restype = ctypes.c_int
-        lib.wav_info.argtypes = [
+        info_argtypes = [
             ctypes.c_char_p,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.wav_info.restype = ctypes.c_int
+        lib.wav_info.argtypes = info_argtypes
+        lib.flac_info.restype = ctypes.c_int
+        lib.flac_info.argtypes = info_argtypes
         lib.load_chunk_batch.restype = ctypes.c_int
         lib.load_chunk_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
@@ -81,12 +92,14 @@ def native_available() -> bool:
 
 def audio_info_native(path: str) -> AudioInfo | None:
     lib = get_lib()
-    if lib is None or not path.lower().endswith(".wav"):
+    ext = path.lower()
+    if lib is None or not ext.endswith((".wav", ".flac")):
         return None
+    probe = lib.wav_info if ext.endswith(".wav") else lib.flac_info
     frames = ctypes.c_int64()
     sr = ctypes.c_int32()
     ch = ctypes.c_int32()
-    if lib.wav_info(path.encode(), ctypes.byref(frames), ctypes.byref(sr), ctypes.byref(ch)):
+    if probe(path.encode(), ctypes.byref(frames), ctypes.byref(sr), ctypes.byref(ch)):
         return None
     return AudioInfo(frames=int(frames.value), samplerate=int(sr.value), channels=int(ch.value))
 
@@ -112,7 +125,7 @@ def load_chunk_batch_native(
     lib = get_lib()
     todo = list(range(len(paths)))
     if lib is not None:
-        wav_rows = [i for i in todo if paths[i].lower().endswith(".wav")]
+        wav_rows = [i for i in todo if paths[i].lower().endswith((".wav", ".flac"))]
         if wav_rows:
             c_paths = (ctypes.c_char_p * len(wav_rows))(
                 *[paths[i].encode() for i in wav_rows]

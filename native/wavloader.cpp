@@ -8,10 +8,11 @@
 // per-file process spawn.
 //
 // Supports canonical RIFF/WAVE with 8/16/24/32-bit integer PCM and 32-bit
-// float, mono or multi-channel (averaged to mono). Non-WAV containers stay
-// on the Python fallback path.
+// float, mono or multi-channel (averaged to mono), plus FLAC via
+// flacdec.cpp (dispatch on extension). Other containers stay on the Python
+// fallback path.
 //
-// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread wavloader.cpp -o libwavloader.so
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread wavloader.cpp flacdec.cpp -o libwavloader.so
 
 #include <atomic>
 #include <cstdint>
@@ -20,7 +21,22 @@
 #include <thread>
 #include <vector>
 
+// FLAC support (flacdec.cpp, compiled into the same library)
+extern "C" long flac_decode_chunk(const char* path, long start_frame,
+                                  long n_samples, int32_t expected_sr, float* out);
+extern "C" int flac_info(const char* path, int64_t* frames, int32_t* sample_rate,
+                         int32_t* channels);
+
 namespace {
+
+bool has_flac_ext(const char* path) {
+  const size_t len = strlen(path);
+  if (len < 5) return false;
+  const char* ext = path + len - 5;
+  return (ext[0] == '.') && (ext[1] == 'f' || ext[1] == 'F') &&
+         (ext[2] == 'l' || ext[2] == 'L') && (ext[3] == 'a' || ext[3] == 'A') &&
+         (ext[4] == 'c' || ext[4] == 'C');
+}
 
 struct WavFormat {
   uint16_t audio_format = 0;  // 1 = PCM, 3 = IEEE float
@@ -169,6 +185,13 @@ int load_chunk_batch(const char** paths, const double* start_seconds,
       const int32_t i = next.fetch_add(1);
       if (i >= batch) break;
       status[i] = 0;
+      if (has_flac_ext(paths[i])) {
+        const long start = (long)(start_seconds[i] * expected_sr + 0.5);
+        const long got = flac_decode_chunk(paths[i], start, n_samples,
+                                           expected_sr, out + (long)i * n_samples);
+        if (got < 0) status[i] = (int32_t)(-got);
+        continue;
+      }
       FILE* f = fopen(paths[i], "rb");
       if (!f) {
         status[i] = 1;

@@ -189,3 +189,40 @@ def test_mfcc_deltas_registry_and_mean_guard(corpus):
     # CMVN makes time means zero -> mean pooling must refuse loudly
     with pytest.raises(ValueError, match="mean"):
         extract_features(df.iloc[:4], ["mfcc_deltas"], batch_size=4, mean=True)
+
+
+def test_prepare_dataframe_flac_tree_end_to_end(tmp_path, rng):
+    """The reference's actual corpus format: ASVspoof FLAC trees with default
+    .flac extension (reference/ASV_dl_func.py:63-75, :406)."""
+    from audioanalysisdetector_tpu.io import load_chunk_batch_native
+    from audioanalysisdetector_tpu.io.flac import write_flac
+
+    audio_dir = tmp_path / "flac"
+    audio_dir.mkdir()
+    lines = []
+    for i in range(4):
+        fid = f"LA_E_{i:07d}"
+        y = rng.standard_normal(16000 * 3) * 0.1
+        x = np.round(np.clip(y, -0.99, 0.99) * 32767).astype(np.int64)
+        write_flac(str(audio_dir / f"{fid}.flac"), x, 16000)
+        label = "bonafide" if i % 2 == 0 else "spoof"
+        lines.append(f"LA_0001 {fid} nocodec asvspoof A0{i % 3} {label} notrim eval")
+    meta = tmp_path / "metadata.txt"
+    meta.write_text("\n".join(lines) + "\n")
+
+    all_data = {"LA": {"metadata": str(meta), "flac": [str(audio_dir)]}}
+    df = prepare_dataframe(
+        all_data, balance=False, sample_size=None, rescue_dir=str(tmp_path)
+    )
+    assert len(df) == 4  # one 2-s chunk per 3-s file
+    assert df["file_path"].str.endswith(".flac").all()
+
+    wavs = load_chunk_batch_native(
+        df["file_path"].tolist(), df["chunk_start"].tolist(),
+        df["chunk_end"].tolist(), sr=16000,
+    )
+    assert wavs.shape == (4, 32000)
+    assert np.abs(wavs).max() > 0.01
+
+    out = extract_features(df, ["cqcc"], batch_size=4)
+    assert out["cqcc"].iloc[0].shape == (19, 63)

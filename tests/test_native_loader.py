@@ -71,3 +71,69 @@ def test_native_short_read_zero_pads(wavs):
     out = load_chunk_batch_native([wavs[0]], [2.5], [4.5], sr=16000)
     assert (out[0, 8000:] == 0).all()
     assert np.abs(out[0, :8000]).max() > 0
+
+
+@pytest.fixture(scope="module")
+def flacs(tmp_path_factory):
+    from audioanalysisdetector_tpu.io.flac import write_flac
+
+    d = tmp_path_factory.mktemp("flacs")
+    rng = np.random.default_rng(1)
+    paths = []
+    modes = ["auto", "verbatim", "fixed", "lpc"]
+    for i, mode in enumerate(modes):
+        t = np.arange(16000 * 3) / 16000.0
+        y = 0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t) + rng.normal(0, 0.005, t.size)
+        x = np.round(np.clip(y, -0.99, 0.99) * 32767).astype(np.int64)
+        p = str(d / f"f{i}_{mode}.flac")
+        write_flac(p, x, 16000, subframe_mode=mode)
+        paths.append(p)
+    st = np.round(
+        rng.normal(0, 2000, (8000, 2)).cumsum(axis=0).clip(-30000, 30000) / 4
+    ).astype(np.int64)
+    p = str(d / "stereo_ms.flac")
+    write_flac(p, st, 16000, stereo_mode="mid_side", rice_partition_order=2)
+    paths.append(p)
+    return paths
+
+
+def test_native_flac_info_matches_python(flacs):
+    for p in flacs:
+        info_py = audio_info(p)
+        info_c = audio_info_native(p)
+        assert info_c is not None, p
+        assert (info_c.frames, info_c.samplerate, info_c.channels) == (
+            info_py.frames, info_py.samplerate, info_py.channels,
+        ), p
+
+
+def test_native_flac_batch_matches_python_decoder(flacs):
+    starts = [0.0, 1.0, 0.5, 0.0, 0.0]
+    ends = [2.0, 3.0, 2.5, 2.0, 0.5]
+    ref = load_chunk_batch(flacs, starts, ends, sr=16000)
+    out = load_chunk_batch_native(flacs, starts, ends, sr=16000)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_native_flac_corrupt_falls_back_then_flags(flacs, tmp_path):
+    raw = bytearray(open(flacs[0], "rb").read())
+    raw[100] ^= 0xFF  # inside the first frame (metadata ends around byte 46)
+    bad = str(tmp_path / "bad.flac")
+    with open(bad, "wb") as f:
+        f.write(bytes(raw))
+    out, ok = load_chunk_batch_native(
+        [flacs[0], bad], [0.0, 0.0], [1.0, 1.0], sr=16000, return_ok=True
+    )
+    assert ok[0] and np.abs(out[0]).max() > 0
+    # native rejects -> Python fallback also raises -> row flagged not-ok
+    assert not ok[1]
+
+
+def test_native_mixed_wav_flac_batch(wavs, flacs):
+    paths = [wavs[0], flacs[0], wavs[1], flacs[1]]
+    starts = [0.0, 0.0, 1.0, 1.0]
+    ends = [1.0, 1.0, 2.0, 2.0]
+    ref = load_chunk_batch(paths, starts, ends, sr=16000)
+    out = load_chunk_batch_native(paths, starts, ends, sr=16000)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
