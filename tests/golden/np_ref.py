@@ -99,3 +99,49 @@ def melspectrogram_ref(y, sr, n_fft=2048, hop=512, n_mels=128, fmin=0.0, fmax=No
 def mfcc_ref(y, sr, n_mfcc=13, n_mels=128, n_fft=2048, hop=512):
     S_db = power_to_db_ref(melspectrogram_ref(y, sr, n_fft, hop, n_mels))
     return scipy_dct(S_db, type=2, axis=0, norm="ortho")[:n_mfcc]
+
+
+def cqt_ref(y, sr, hop, fmin, n_bins, bins_per_octave=12, filter_scale=1.0):
+    """Direct-definition float64 magnitude CQT at the ORIGINAL sample rate.
+
+    Per-bin L1-normalized symmetric-hann-windowed complex correlation with
+    the bin's exponential, librosa ``scale=True`` (sqrt(N_k)) scaling and
+    length rule ``N_k = ceil(Q * sr / f_k)``, zero-padded boundaries, frame m
+    centered at sample ``m * hop`` (librosa.cqt's pad_mode='constant'
+    contract; reference/ASV_dl_func.py:442-481 consumes librosa.cqt).
+
+    No decimation pyramid, no FFT — this is the definition the fast
+    multi-octave implementation is bounded against.
+    """
+    y = np.asarray(y, np.float64)
+    q = filter_scale / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+    n_frames = 1 + len(y) // hop
+    out = np.zeros((n_bins, n_frames))
+    for k, f in enumerate(freqs):
+        n_k = int(np.ceil(q * sr / f))
+        i = np.arange(n_k)
+        t = i - (n_k - 1) / 2.0
+        w = 0.5 - 0.5 * np.cos(2 * np.pi * i / max(n_k - 1, 1))
+        w = w / w.sum()
+        kern = w * np.exp(-2j * np.pi * f * t / sr) * np.sqrt(q * sr / f)
+        idx = (np.arange(n_frames) * hop - n_k // 2)[:, None] + i[None, :]
+        valid = (idx >= 0) & (idx < len(y))
+        seg = np.where(valid, y[np.clip(idx, 0, len(y) - 1)], 0.0)
+        out[k] = np.abs(seg @ kern)
+    return out
+
+
+def cqcc_ref(y, sr, hop=512, fmin=32.70319566257483, n_bins=84, n_ceps=19):
+    """Float64 CQCC chain on cqt_ref (reference/ASV_dl_func.py:442-481):
+    amplitude_to_db(ref=max) -> per-frame linear-grid re-interpolation ->
+    log(x^2 + 1e-12) -> orthonormal DCT-II over frequency -> first n_ceps."""
+    mag = cqt_ref(y, sr, hop, fmin, n_bins)
+    db = amplitude_to_db_ref(mag, ref=float(mag.max()))
+    src = fmin * 2.0 ** (np.arange(n_bins) / 12)
+    dst = np.linspace(src.min(), src.max(), num=n_bins)
+    interp = np.empty_like(db)
+    for m in range(db.shape[1]):
+        interp[:, m] = np.interp(dst, src, db[:, m])
+    logp = np.log(interp**2 + 1e-12)
+    return scipy_dct(logp, type=2, axis=0, norm="ortho")[:n_ceps]

@@ -130,3 +130,69 @@ def test_tone_peak_survives_auto_padding():
     y = tone(freqs[k], n=32000 - 63)  # force padding
     mag = np.asarray(cqt(jnp.asarray(y)))
     assert abs(int(np.argmax(mag[:, 30])) - k) <= 1
+
+
+def _multitone(seed=0, sr=16000, n=32000):
+    """Multi-tone (on- and off-bin) + noise probe spanning all octaves."""
+    rng = np.random.default_rng(seed)
+    freqs = cqt_frequencies(84, C1_HZ)
+    detune = [1.02, 1.0, 0.97, 1.0, 1.01, 1.0]
+    bins = [3, 15, 30, 45, 60, 75]
+    y = sum(
+        0.3 / (i + 1) * np.sin(2 * np.pi * freqs[k] * d * np.arange(n) / sr + i)
+        for i, (k, d) in enumerate(zip(bins, detune))
+    )
+    return (y + 0.01 * rng.standard_normal(n)).astype(np.float32), bins
+
+
+def test_cqt_direct_definition_bound():
+    """Quantified error of the conv-pyramid CQT vs the float64 definition.
+
+    The golden (np_ref.cqt_ref) is the naive per-bin windowed complex
+    correlation at the original rate — no decimation, no FFT. Measured on
+    multi-tone + noise (2026-08, CPU f32): driven bins err <= 0.5%, bins
+    above 10% of peak median 0.25% / p95 2.5% / max 6.4%, everywhere
+    <= 2% of global peak. Bounds below are ~2x the measured values.
+    """
+    for seed in (0, 1):
+        y, bins = _multitone(seed)
+        ref = np_ref.cqt_ref(y.astype(np.float64), 16000, 512, C1_HZ, 84)
+        got = np.asarray(cqt(jnp.asarray(y), CQTConfig()))
+        assert got.shape == ref.shape == (84, 63)
+        # the driven (signal-carrying) bins: tight bound, interior frames
+        for k in bins:
+            rel = np.abs(got[k, 5:-5] - ref[k, 5:-5]) / ref[k, 5:-5]
+            assert np.median(rel) < 0.01, (seed, k, np.median(rel))
+            assert rel.max() < 0.02, (seed, k, rel.max())
+        # all significant bins
+        m10 = ref > ref.max() * 0.1
+        rel10 = np.abs(got - ref)[m10] / ref[m10]
+        assert np.median(rel10) < 0.01, np.median(rel10)
+        assert np.percentile(rel10, 95) < 0.05, np.percentile(rel10, 95)
+        assert rel10.max() < 0.13, rel10.max()
+        m3 = ref > ref.max() * 0.03
+        assert (np.abs(got - ref)[m3] / ref[m3]).max() < 0.2
+        # and globally: nothing deviates by more than 4% of the peak
+        assert (np.abs(got - ref) / ref.max()).max() < 0.04
+
+
+def test_cqcc_direct_definition_bound():
+    """End-to-end flagship CQCC (19, 63) vs the float64 definition chain.
+
+    Measured (2026-08): abs err median 0.016 / p95 0.051 / max 0.145 on
+    coefficients spanning ~±73 — i.e. max deviation < 0.2% of the dynamic
+    range. Bounds are ~2.5x measured.
+    """
+    y, _ = _multitone(0)
+    ref = np_ref.cqcc_ref(y.astype(np.float64), 16000)
+    got = np.asarray(cqcc(jnp.asarray(y), CQCCConfig()))
+    assert got.shape == ref.shape == (19, 63)
+    err = np.abs(got - ref)
+    scale = np.abs(ref).max()
+    assert np.median(err) < 0.05, np.median(err)
+    assert np.percentile(err, 95) < 0.15, np.percentile(err, 95)
+    assert err.max() < 0.4, err.max()
+    assert err.max() / scale < 0.006
+    # structure, not just magnitude: near-perfect correlation
+    c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert c > 0.9999, c
