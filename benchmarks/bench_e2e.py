@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Decode-inclusive end-to-end benchmark: file bytes -> spoof scores.
+
+The north-star metric (BASELINE.md:24) is defined from DECODE onward:
+decode -> log-mel -> CNN-BiLSTM score, utterances/sec/chip. ``bench.py``
+measures the device-resident compute term; this lane measures the full
+path on a generated on-disk corpus:
+
+- ``decode_utt_s``   — native C++ threaded batch decode (WAV), files -> f32
+- ``flac_decode_utt_s`` — same for FLAC (the reference's corpus format)
+- ``compute_utt_s``  — device-resident mel+model scoring (bench.py's unit)
+- ``e2e_utt_s``      — decode + host->device upload + scoring, with a
+  producer thread overlapping decode/upload of batch i+1 with compute of
+  batch i (double buffering). Waveforms cross the link as int16 (exact for
+  16-bit sources, halves the bytes); dequantization happens on device.
+
+Environment note: this harness reaches the TPU through a network tunnel
+whose ~20-40 MB/s host->device bandwidth is an artifact of the tunnel, not
+of chip DMA; e2e_utt_s is therefore a lower bound dominated by that link.
+The decode and compute terms are link-independent.
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+BASELINE_UTT_PER_SEC = 201.17  # reference fused eval (BASELINE.md)
+SR, SECONDS = 16000, 2
+N_WAV = 2048
+N_FLAC = 256
+BATCH = 512
+
+
+def _build_corpus(root: str) -> tuple[list[str], list[str]]:
+    from audioanalysisdetector_tpu.io.audio import write_wav
+    from audioanalysisdetector_tpu.io.flac import write_flac
+
+    rng = np.random.default_rng(0)
+    n = SR * SECONDS
+    t = np.arange(n) / SR
+    wavs, flacs = [], []
+    for i in range(N_WAV):
+        y = 0.2 * np.sin(2 * np.pi * (120 + 7 * (i % 40)) * t) + 0.02 * rng.standard_normal(n)
+        p = os.path.join(root, f"w{i:05d}.wav")
+        write_wav(p, y.astype(np.float32), SR)
+        wavs.append(p)
+    for i in range(N_FLAC):
+        y = 0.2 * np.sin(2 * np.pi * (120 + 7 * (i % 40)) * t) + 0.02 * rng.standard_normal(n)
+        x = np.round(np.clip(y, -0.999, 0.999) * 32767).astype(np.int64)
+        p = os.path.join(root, f"f{i:05d}.flac")
+        write_flac(p, x, SR)
+        flacs.append(p)
+    return wavs, flacs
+
+
+def _decode_rate(paths: list[str], repeats: int = 1) -> float:
+    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
+
+    starts = [0.0] * BATCH
+    ends = [float(SECONDS)] * BATCH
+    # warm the page cache so the number measures decode, not cold disk
+    load_chunk_batch_native(paths[:BATCH], starts, ends, sr=SR)
+    t0 = time.perf_counter()
+    n_done = 0
+    for _ in range(repeats):
+        for i in range(0, len(paths), BATCH):
+            chunk = paths[i : i + BATCH]
+            out = load_chunk_batch_native(
+                chunk, [0.0] * len(chunk), [float(SECONDS)] * len(chunk), sr=SR
+            )
+            n_done += out.shape[0]
+    return n_done / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig
+    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
+    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+    from audioanalysisdetector_tpu.score.e2e import melspec_features
+
+    with tempfile.TemporaryDirectory(prefix="bench_e2e_") as root:
+        wavs, flacs = _build_corpus(root)
+        decode_utt_s = _decode_rate(wavs)
+        flac_decode_utt_s = _decode_rate(flacs, repeats=4)
+
+        mel_cfg = MelConfig(sr=SR, n_mels=64)
+        model = CNNBiLSTMHybrid()
+        feats0 = jnp.zeros((1, mel_cfg.n_mels, 1 + SR * SECONDS // mel_cfg.hop_length))
+        variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+
+        def score_i16(x_i16, acc):
+            wav = x_i16.astype(jnp.float32) / 32768.0
+            feats = melspec_features(wav, mel_cfg)
+            out = model.apply(variables, feats, train=False).reshape(-1)
+            return acc + jnp.sum(out)
+
+        scorer = jax.jit(score_i16)
+
+        # device-resident compute term (chained, single dispatch per iter)
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(
+            (rng.standard_normal((BATCH, SR * SECONDS)) * 3000).astype(np.int16)
+        )
+        x0 = jax.device_put(x0)
+        acc = scorer(x0, jnp.zeros((), jnp.float32))  # compile
+        float(acc)
+        n_iters = 12
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(n_iters):
+            acc = scorer(x0, acc)
+        float(acc)
+        compute_utt_s = BATCH * n_iters / (time.perf_counter() - t0)
+
+        # e2e: producer thread decodes + uploads int16; main thread scores.
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            for i in range(0, len(wavs), BATCH):
+                chunk = wavs[i : i + BATCH]
+                out = load_chunk_batch_native(
+                    chunk, [0.0] * len(chunk), [float(SECONDS)] * len(chunk), sr=SR
+                )
+                x = np.clip(out * 32768.0, -32768, 32767).astype(np.int16)
+                q.put(jax.device_put(x))  # upload overlaps consumer's compute
+            q.put(None)
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        acc = jnp.zeros((), jnp.float32)
+        n_scored = 0
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            n_scored += item.shape[0]
+            acc = scorer(item, acc)
+        assert np.isfinite(float(acc))  # forces the whole chain
+        e2e_utt_s = n_scored / (time.perf_counter() - t0)
+        th.join()
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_decode_mel_cnn_bilstm_throughput",
+                "value": round(e2e_utt_s, 1),
+                "unit": "utt/s",
+                "vs_baseline": round(e2e_utt_s / BASELINE_UTT_PER_SEC, 2),
+                "decode_utt_s": round(decode_utt_s, 1),
+                "flac_decode_utt_s": round(flac_decode_utt_s, 1),
+                "compute_utt_s": round(compute_utt_s, 1),
+                "batch": BATCH,
+                "n_files": N_WAV,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
