@@ -37,14 +37,35 @@ def make_mesh_2d(dp: int, mp: int, *, axes: tuple[str, str] = ("data", "model"))
     return Mesh(grid, axes)
 
 
-def initialize_distributed() -> None:
-    """Multi-host bring-up over DCN (no-op when single-process)."""
-    if jax.process_count() > 1:
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up over DCN.
+
+    With explicit coordinator args (launcher-style bring-up, e.g. the
+    2-process localhost test in tests/test_multihost.py) failures propagate;
+    with no args, environment auto-detection is attempted and failure means
+    single-host operation.
+    """
+    # do NOT call jax.process_count() here: it would initialize the XLA
+    # backend, after which jax.distributed.initialize refuses to run
+    from jax._src import distributed as _dist_state
+
+    if getattr(_dist_state.global_state, "client", None) is not None:
         return  # already initialized by the launcher
+    explicit = coordinator_address is not None
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     except (RuntimeError, ValueError):
-        pass  # single-host / no coordinator configured
+        if explicit:
+            raise
+        # single-host / no coordinator configured
 
 
 def process_shard(n_items: int) -> slice:

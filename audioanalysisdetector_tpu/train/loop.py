@@ -40,8 +40,16 @@ def batch_iter(
     shuffle: bool,
     seed: int = 0,
     pad_tail: bool = True,
+    across_processes: bool = False,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
-    """Yield (x_batch, y_batch, true_count); tail batch padded to full size."""
+    """Yield (x_batch, y_batch, true_count); tail batch padded to full size.
+
+    ``across_processes``: multi-host data loading — every process walks the
+    SAME global permutation (same seed) but materializes only its
+    ``parallel.mesh.process_shard`` slice of each global batch; the caller
+    assembles the global array (``jax.make_array_from_process_local_data``).
+    ``true_count`` stays global.
+    """
     n = len(y)
     idx = np.arange(n)
     if shuffle:
@@ -51,6 +59,10 @@ def batch_iter(
         true = len(sel)
         if true < batch_size and pad_tail:
             sel = np.concatenate([sel, idx[: batch_size - true]])
+        if across_processes:
+            from audioanalysisdetector_tpu.parallel.mesh import process_shard
+
+            sel = sel[process_shard(len(sel))]
         yield x[sel], y[sel], true
 
 
