@@ -35,9 +35,9 @@ class BiLSTMClassifier(nn.Module):
         train: bool = False,
         lengths: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
-        h = BiLSTM(self.hidden, name="bilstm1")(x)
+        h = BiLSTM(self.hidden, name="bilstm1")(x, lengths)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = BiLSTM(self.hidden, name="bilstm2")(h)
+        h = BiLSTM(self.hidden, name="bilstm2")(h, lengths)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if lengths is None:
             last = h[:, -1, :]

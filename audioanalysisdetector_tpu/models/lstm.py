@@ -25,6 +25,21 @@ def _torch_lstm_uniform(rng, shape, dtype, *, hidden: int):
     return jax.random.uniform(rng, shape, dtype, -bound, bound)
 
 
+def _reverse_padded(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each row's first ``lengths[b]`` steps; zero the tail.
+
+    Length-aware reversal for ragged (bucketed) batches: the backward
+    direction must consume the TRUE sequence reversed, not the zero padding
+    first — otherwise padded and unpadded scores of the same utterance
+    diverge (the mask-semantics contract, reference/ASV_dl_func.py:1486-1489).
+    """
+    t = jnp.arange(x.shape[1])
+    idx = lengths[:, None] - 1 - t[None, :]
+    valid = idx >= 0
+    gathered = jnp.take_along_axis(x, jnp.clip(idx, 0, x.shape[1] - 1)[:, :, None], axis=1)
+    return jnp.where(valid[:, :, None], gathered, 0.0)
+
+
 class LSTMLayer(nn.Module):
     """Unidirectional LSTM over ``(B, T, I) -> (B, T, H)``.
 
@@ -36,7 +51,9 @@ class LSTMLayer(nn.Module):
     reverse: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
         H = self.hidden
         I = x.shape[-1]
         init = lambda rng, shape, dtype=jnp.float32: _torch_lstm_uniform(
@@ -48,7 +65,7 @@ class LSTMLayer(nn.Module):
         b_hh = self.param("b_hh", init, (4 * H,))
 
         if self.reverse:
-            x = jnp.flip(x, axis=1)
+            x = jnp.flip(x, axis=1) if lengths is None else _reverse_padded(x, lengths)
 
         # time-parallel input projection: one GEMM for the whole sequence
         gx = x @ w_ih + (b_ih + b_hh)  # (B, T, 4H)
@@ -70,17 +87,24 @@ class LSTMLayer(nn.Module):
         (_, _), hs = jax.lax.scan(cell, (h0, h0), jnp.swapaxes(gx, 0, 1))
         out = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
         if self.reverse:
-            out = jnp.flip(out, axis=1)
+            out = jnp.flip(out, axis=1) if lengths is None else _reverse_padded(out, lengths)
         return out
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional LSTM: ``(B, T, I) -> (B, T, 2H)`` (fwd ++ bwd)."""
+    """Bidirectional LSTM: ``(B, T, I) -> (B, T, 2H)`` (fwd ++ bwd).
+
+    ``lengths`` (ragged/bucketed batches) makes the backward direction
+    consume each row's true reversed sequence instead of its zero tail;
+    without it numerics match ``torch.nn.LSTM(bidirectional=True)`` exactly.
+    """
 
     hidden: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, lengths: jnp.ndarray | None = None
+    ) -> jnp.ndarray:
         fwd = LSTMLayer(self.hidden, reverse=False, name="fwd")(x)
-        bwd = LSTMLayer(self.hidden, reverse=True, name="bwd")(x)
+        bwd = LSTMLayer(self.hidden, reverse=True, name="bwd")(x, lengths)
         return jnp.concatenate([fwd, bwd], axis=-1)

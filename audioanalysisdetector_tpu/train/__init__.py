@@ -13,6 +13,7 @@ from audioanalysisdetector_tpu.train.loop import (
     bilstm_pipeline,
     evaluate,
     fit,
+    fit_bucketed,
 )
 from audioanalysisdetector_tpu.train.gmm_system import (
     eval_model,
@@ -58,6 +59,7 @@ __all__ = [
     "f1_binary",
     "f1_macro",
     "fit",
+    "fit_bucketed",
     "get_loss",
     "load_bilstm_model",
     "load_gmm_models",

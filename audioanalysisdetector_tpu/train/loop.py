@@ -82,6 +82,7 @@ class FitResult:
     best_state: TrainState
     logs: list[EpochLog] = field(default_factory=list)
     best_epoch: int = -1
+    n_compiled_shapes: int = -1  # fit_bucketed: distinct jit cache entries
 
 
 def fit(
@@ -206,6 +207,128 @@ def fit(
             _save_plots(logs, run_dir)
 
     return FitResult(state=state, best_state=best_state, logs=logs, best_epoch=best_epoch)
+
+
+def fit_bucketed(
+    model,
+    train_sequences: list[np.ndarray],
+    train_labels: np.ndarray,
+    val_sequences: list[np.ndarray],
+    val_labels: np.ndarray,
+    *,
+    loss_name: str = "CrossEntropyLoss",
+    optimizer_name: str = "Adam",
+    lr: float = 1e-3,
+    num_epochs: int = 5,
+    batch_size: int = 16,
+    n_buckets: int = 4,
+    seed: int = 0,
+    verbose: bool = False,
+) -> FitResult:
+    """Ragged-corpus trainer: variable-length sequences over length buckets.
+
+    Replaces the reference's per-batch ``pad_sequence`` collate
+    (reference/ASV_dl_func.py:1220-1227), which under XLA would compile one
+    program per distinct batch length. Sequences ``(T_i, F)`` are grouped by
+    ``data.bucketing`` into a quantized length ladder, so the jitted step
+    compiles at most ``len(ladder)`` shapes (asserted via
+    ``FitResult.n_compiled_shapes``). Mask semantics follow the scorer's
+    contract (reference/ASV_dl_func.py:1486-1489): padded frames are zero
+    and each sequence's logits read its TRUE last step via ``lengths``.
+    """
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.data.bucketing import (
+        bucketed_batches,
+        make_bucket_ladder,
+    )
+
+    loss_fn = get_loss(loss_name)
+    feat_dim = train_sequences[0].shape[-1]
+    ladder = make_bucket_ladder(
+        np.asarray([len(s) for s in train_sequences] + [len(s) for s in val_sequences]),
+        n_buckets,
+    )
+
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init(rng, jnp.zeros((1, ladder[-1], feat_dim)), train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=make_optimizer(optimizer_name, lr),
+    )
+
+    @jax.jit
+    def train_step(state, x, lengths, y, step_rng):
+        def compute_loss(params):
+            logits = state.apply_fn(
+                {"params": params}, x, train=True, lengths=lengths,
+                rngs={"dropout": step_rng},
+            )
+            return loss_fn(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return state.apply_gradients(grads), {"loss": loss, "accuracy": acc}
+
+    @jax.jit
+    def eval_step(state, x, lengths, y):
+        logits = state.apply_fn({"params": state.params}, x, lengths=lengths)
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return {"loss": loss_fn(logits, y), "accuracy": acc}
+
+    logs: list[EpochLog] = []
+    best_val = float("inf")
+    best_state = state
+    best_epoch = -1
+    for epoch in range(num_epochs):
+        t0 = time.time()
+        tr_loss_d = jnp.zeros(())
+        tr_acc_d = jnp.zeros(())
+        tr_n = 0.0
+        for xb, lb, yb in bucketed_batches(
+            train_sequences, train_labels, batch_size,
+            ladder=ladder, shuffle=True, seed=seed + epoch,
+        ):
+            rng, sub = jax.random.split(rng)
+            state, m = train_step(state, xb, lb, yb, sub)
+            tr_loss_d = tr_loss_d + m["loss"] * len(yb)
+            tr_acc_d = tr_acc_d + m["accuracy"] * len(yb)
+            tr_n += len(yb)
+
+        va_loss_d = jnp.zeros(())
+        va_acc_d = jnp.zeros(())
+        va_n = 0.0
+        for xb, lb, yb in bucketed_batches(
+            val_sequences, val_labels, batch_size, ladder=ladder, shuffle=False
+        ):
+            m = eval_step(state, xb, lb, yb)
+            va_loss_d = va_loss_d + m["loss"] * len(yb)
+            va_acc_d = va_acc_d + m["accuracy"] * len(yb)
+            va_n += len(yb)
+
+        row = EpochLog(
+            epoch=epoch,
+            train_loss=float(tr_loss_d) / max(tr_n, 1),
+            train_acc=float(tr_acc_d) / max(tr_n, 1),
+            val_loss=float(va_loss_d) / max(va_n, 1),
+            val_acc=float(va_acc_d) / max(va_n, 1),
+            seconds=time.time() - t0,
+        )
+        logs.append(row)
+        if verbose:
+            print(
+                f"epoch {epoch}: train loss {row.train_loss:.4f} acc {row.train_acc:.4f}"
+                f" | val loss {row.val_loss:.4f} acc {row.val_acc:.4f}"
+            )
+        if row.val_loss < best_val:
+            best_val, best_state, best_epoch = row.val_loss, state, epoch
+
+    return FitResult(
+        state=state, best_state=best_state, logs=logs, best_epoch=best_epoch,
+        n_compiled_shapes=train_step._cache_size(),
+    )
 
 
 def _save_plots(logs: list[EpochLog], run_dir: str) -> None:

@@ -59,3 +59,65 @@ def test_every_sequence_appears(rng):
     for x, ls, y in bucketed_batches(marked, labels, 5, n_buckets=3, seed=2):
         tags.update(np.round(x[:, 0, 0]).astype(int).tolist())
     assert tags == {1000 + i for i in range(23)}
+
+
+def test_fit_bucketed_ragged_cqcc_end_to_end(rng):
+    """Train on a ragged CQCC corpus (1.2 s .. 4 s) through the bucketed
+    path; the jit cache must hold at most len(ladder) shapes and the
+    bucketing must preserve mask semantics through the fused scorer
+    (BASELINE config #4; replaces reference/ASV_dl_func.py:1220-1227)."""
+    import jax
+    from audioanalysisdetector_tpu.frontend.cqcc import CQCCConfig, cqcc, transpose_cqcc
+    from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
+    from audioanalysisdetector_tpu.train import fit_bucketed
+
+    sr = 16000
+    cfg = CQCCConfig.for_sr(sr)
+    durations = [1.2, 1.7, 2.0, 2.6, 3.1, 4.0]
+    seqs, labels = [], []
+    for d in durations:
+        n = int(sr * d)
+        t = np.arange(n) / sr
+        # 4 utterances per length: 2 tonal (bonafide-like), 2 noise (spoof-like)
+        wavs = np.stack(
+            [0.5 * np.sin(2 * np.pi * (220 + 30 * k) * t) for k in range(2)]
+            + [0.3 * rng.standard_normal(n) for _ in range(2)]
+        ).astype(np.float32)
+        feats = np.asarray(transpose_cqcc(cqcc(jnp.asarray(wavs), cfg)))
+        for k in range(4):
+            seqs.append(feats[k])
+            labels.append(0 if k < 2 else 1)
+    labels = np.asarray(labels)
+    tr_idx = [i for i in range(len(seqs)) if i % 4 != 3]
+    va_idx = [i for i in range(len(seqs)) if i % 4 == 3]
+
+    model = BiLSTMClassifier(hidden=16)
+    result = fit_bucketed(
+        model,
+        [seqs[i] for i in tr_idx], labels[tr_idx],
+        [seqs[i] for i in va_idx], labels[va_idx],
+        num_epochs=8, batch_size=6, n_buckets=3, lr=5e-3, seed=0,
+    )
+    ladder = make_bucket_ladder(
+        np.asarray([len(s) for s in seqs]), n_buckets=3
+    )
+    assert result.n_compiled_shapes <= len(ladder), (
+        result.n_compiled_shapes, ladder,
+    )
+    assert result.logs[-1].train_acc > 0.85, result.logs[-1]
+
+    # mask semantics: a bucketed (padded) sequence must score exactly like
+    # the unpadded sequence — logits read the true last step, and the GMM
+    # mask drops zero rows (reference/ASV_dl_func.py:1486-1489)
+    variables = {"params": result.best_state.params}
+    s = seqs[0]
+    bucket_len = bucket_for(len(s), ladder)
+    padded = np.zeros((1, bucket_len, s.shape[-1]), np.float32)
+    padded[0, : len(s)] = s
+    lengths = np.asarray([len(s)], np.int32)
+    out_pad = model.apply(variables, jnp.asarray(padded), lengths=jnp.asarray(lengths))
+    out_raw = model.apply(variables, jnp.asarray(s[None]))
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out_raw), atol=1e-5)
+
+    mask = np.asarray(padding_mask(jnp.asarray(padded)))
+    assert mask[0, : len(s)].all() and not mask[0, len(s):].any()
