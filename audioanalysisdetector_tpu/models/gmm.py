@@ -207,17 +207,43 @@ def fit_em(
     xc_np, wc_np = _pad_to_chunks(x, chunk)
     # device_put (not asarray) — materializes the upload eagerly and fast
     xc, wc = jax.device_put(xc_np), jax.device_put(wc_np)
-    prev_ll = -np.inf
-    sync_every = 1 if (verbose or tol > 0) else 10  # host LL fetch has RPC cost
-    for it in range(max_iter):
-        gmm, ll = _em_step(xc, wc, gmm, reg_covar=reg_covar)
-        if verbose or tol > 0 or (it + 1) % sync_every == 0 or it == max_iter - 1:
+    if verbose:
+        # per-iteration host fetch only when asked to narrate
+        prev_ll = -np.inf
+        for it in range(max_iter):
+            gmm, ll = _em_step(xc, wc, gmm, reg_covar=reg_covar)
             ll = float(ll)
-            if verbose:
-                print(f"EM iter {it}: mean LL {ll:.6f}")
+            print(f"EM iter {it}: mean LL {ll:.6f}")
             if tol > 0 and abs(ll - prev_ll) < tol:
                 break
             prev_ll = ll
+        return gmm
+    # Convergence checked in WINDOWS: iterations dispatch back-to-back with
+    # per-iteration LLs kept on device; ONE stacked fetch per window replaces
+    # the per-iteration float(ll) sync (~69 ms RPC each on tunneled TPUs —
+    # round-1 review Weak #6). The window's LL history recovers sklearn's
+    # exact stopping state: the model AFTER the first iteration whose
+    # |ΔLL| < tol. (Whole-loop designs measured SLOWER on this runtime for
+    # the 1.8M-frame/128-component benchmark: lax.while_loop ~8x, blocked
+    # scan+cond ~2x, vs ~24 s for this per-iteration-dispatch form.)
+    sync_every = 10
+    prev_ll = -np.inf
+    window_lls: list = []
+    window_states: list = []
+    for it in range(max_iter):
+        gmm, ll = _em_step(xc, wc, gmm, reg_covar=reg_covar)
+        window_lls.append(ll)
+        window_states.append(gmm)
+        if len(window_lls) == sync_every or it == max_iter - 1:
+            if tol > 0:
+                vals = np.asarray(jax.device_get(jnp.stack(window_lls)))
+                deltas = np.abs(np.diff(np.concatenate([[prev_ll], vals])))
+                hits = np.nonzero(deltas < tol)[0]
+                if hits.size:
+                    return window_states[int(hits[0])]
+                prev_ll = float(vals[-1])
+            window_lls.clear()
+            window_states.clear()
     return gmm
 
 

@@ -200,3 +200,18 @@ def test_more_features_classifier(rng):
     assert out.shape == (2, 2)
     # one shared trunk: only one 'extractor' param subtree
     assert set(v["params"].keys()) == {"extractor", "fc1", "fc2", "fc3"}
+
+
+def test_fit_em_device_side_convergence_semantics(rng):
+    """The blocked on-device convergence test must stop at EXACTLY the same
+    state as a per-iteration host test: with a huge tol, EM converges after
+    the 2nd iteration and the carry freezes for the rest of the block."""
+    x = rng.standard_normal((2000, 4)).astype(np.float32)
+    stopped = fit_em(x, n_components=4, max_iter=50, tol=1e9, chunk=512, seed=0)
+    two_iter = fit_em(x, n_components=4, max_iter=2, tol=0.0, chunk=512, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(stopped.means), np.asarray(two_iter.means), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(stopped.weights), np.asarray(two_iter.weights), rtol=1e-6
+    )
