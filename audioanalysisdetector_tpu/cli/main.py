@@ -66,6 +66,14 @@ def cmd_score(args) -> int:
     from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
     from audioanalysisdetector_tpu.train.checkpoint import load_payload
 
+    if not args.checkpoint and not args.allow_random:
+        print(
+            "score: no --checkpoint given — scores from randomly initialized "
+            "weights are meaningless. Pass --checkpoint <best_model.msgpack>, "
+            "or --allow-random to proceed anyway (smoke tests only).",
+            file=sys.stderr,
+        )
+        return 2
     paths = _collect_wavs(args.audio)
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
@@ -317,14 +325,21 @@ def cmd_gridsearch(args) -> int:
         print("need at least 10 labeled WAVs", file=sys.stderr)
         return 1
     paths = _shuffle(paths, args.seed)
+    features = [f.strip() for f in args.features.split(",") if f.strip()]
+    components = tuple(int(c) for c in args.components.split(",") if c.strip())
     df = pd.DataFrame({"file_path": paths})
     df["label"] = _labels_from_dirnames(paths)
     df["chunk_start"], df["chunk_end"] = 0.0, args.seconds
-    df = extract_features(df, ["wpt"], sr=args.sr, mean=False)
-    expanded = expand_feature_columns(df, ["wpt"], "label")
+    df = extract_features(df, features, sr=args.sr, mean=True)
+    expanded = expand_feature_columns(df, features, "label")
+    groups = {
+        f: [c for c in expanded.columns if c == f or c.startswith(f + "_")]
+        for f in features
+    }
     split = int(len(expanded) * 0.8)
     top, full = run_extensive_gridsearch(
-        expanded[:split], expanded[split:], components=(4,), out_dir=args.output_dir,
+        expanded[:split], expanded[split:], feature_groups=groups,
+        components=components, out_dir=args.output_dir,
     )
     if full is not None:
         print(full.head(args.top_k).to_string())
@@ -348,6 +363,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--n-mels", type=int, default=64)
     sp.add_argument("--checkpoint", default=None)
+    sp.add_argument(
+        "--allow-random", action="store_true",
+        help="score with randomly initialized weights (smoke tests only)",
+    )
     sp.set_defaults(fn=cmd_score)
 
     sp = sub.add_parser("extract", help="feature extraction to .npz")
@@ -399,6 +418,14 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--output-dir", default="gridsearch_results")
     sp.add_argument("--top-k", type=int, default=5)
+    sp.add_argument(
+        "--features", default="wpt,mfcc,lfcc",
+        help="comma list of extractors swept as feature sets (reference: 6)",
+    )
+    sp.add_argument(
+        "--components", default="10,20,30,40",
+        help="comma list of PCA/ICA component counts (the reference's space)",
+    )
     sp.set_defaults(fn=cmd_gridsearch)
 
     return p

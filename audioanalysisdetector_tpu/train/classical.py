@@ -136,6 +136,7 @@ def run_extensive_gridsearch(
     df_test: pd.DataFrame,
     feature_cols: list[str] | None = None,
     *,
+    feature_groups: dict[str, list[str]] | None = None,
     svm_params: dict | None = None,
     xgb_params: dict | None = None,
     cv: int = 3,
@@ -163,11 +164,18 @@ def run_extensive_gridsearch(
     y_test = df_test[label_col].values
     results = []
 
-    feature_sets = (
-        [("all_features", [c for c in df_train.columns if c != label_col])]
-        if feature_cols is None
-        else [("selected_features", feature_cols)]
-    )
+    if feature_groups:
+        # the reference's sweep shape: all / singletons / ordered pairs of
+        # BASE features, each mapped to its expanded scalar columns
+        # (reference/ASV_dl_func.py:1561-1572 via generate_feature_sets)
+        feature_sets = [
+            (name, [c for g in groups for c in feature_groups[g]])
+            for name, groups in generate_feature_sets(list(feature_groups))
+        ]
+    elif feature_cols is None:
+        feature_sets = [("all_features", [c for c in df_train.columns if c != label_col])]
+    else:
+        feature_sets = [("selected_features", feature_cols)]
     for fs_name, fs_cols in feature_sets:
         X_train = df_train[fs_cols].values
         X_test = df_test[fs_cols].values

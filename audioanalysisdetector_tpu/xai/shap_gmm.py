@@ -57,14 +57,22 @@ def gmm_shap(
     M = len(windows)
 
     rng = np.random.default_rng(seed)
-    # coalition matrix: all-on, all-off, then random subsets
-    Z = [np.ones(M), np.zeros(M)]
-    sizes = rng.integers(1, M, size=max(n_coalitions - 2, 0))
-    for s in sizes:
-        z = np.zeros(M)
-        z[rng.choice(M, s, replace=False)] = 1.0
-        Z.append(z)
-    Z = np.stack(Z)  # (C, M)
+    if M >= 1 and 2**M <= n_coalitions:
+        # exact mode: enumerate every coalition — kernel SHAP with the full
+        # coalition set and the efficiency constraint IS the Shapley value
+        # (cross-checked against brute-force Shapley in tests/test_xai.py)
+        Z = np.asarray(
+            [[(c >> m) & 1 for m in range(M)] for c in range(2**M)], dtype=float
+        )
+    else:
+        # sampled mode: all-on, all-off, then random subsets
+        Z = [np.ones(M), np.zeros(M)]
+        sizes = rng.integers(1, M, size=max(n_coalitions - 2, 0))
+        for s in sizes:
+            z = np.zeros(M)
+            z[rng.choice(M, s, replace=False)] = 1.0
+            Z.append(z)
+        Z = np.stack(Z)  # (C, M)
 
     # build masked instances: window m off -> replaced by background
     cell_mask = np.zeros((M, T), dtype=bool)
@@ -77,19 +85,28 @@ def gmm_shap(
     batch = np.where(keep[:, :, None], x[None], background[None]).astype(np.float32)
 
     vals = np.asarray(score_fn(jnp.asarray(batch)))  # (C,)
-    base, full = vals[1], vals[0]
+    sizes_z = Z.sum(axis=1).astype(int)
+    base = float(vals[sizes_z == 0][0])
+    full = float(vals[sizes_z == M][0])
 
-    w = np.asarray([_shapley_kernel_weight(M, int(z.sum())) for z in Z])
-    # weighted least squares with intercept pinned to base value
-    A = Z
-    y = vals - base
-    W = np.diag(w)
-    AtW = A.T @ W
-    phi = np.linalg.solve(AtW @ A + 1e-8 * np.eye(M), AtW @ y)
-    # rescale so attributions sum exactly to full - base (efficiency axiom)
-    total = phi.sum()
-    if abs(total) > 1e-12:
-        phi = phi * (full - base) / total
+    if M == 1:
+        phi = np.asarray([full - base])
+    else:
+        # constrained WLS on interior coalitions (the endpoints are exact by
+        # construction): intercept pinned to base, efficiency enforced by
+        # eliminating phi_{M-1} = (full - base) - sum(phi_others) — the
+        # standard kernel-SHAP solve
+        interior = (sizes_z > 0) & (sizes_z < M)
+        A = Z[interior]
+        y = vals[interior] - base
+        w = np.asarray([_shapley_kernel_weight(M, int(s)) for s in sizes_z[interior]])
+        A2 = A[:, :-1] - A[:, -1:]
+        y2 = y - A[:, -1] * (full - base)
+        AtW = A2.T * w[None, :]
+        phi_head = np.linalg.solve(
+            AtW @ A2 + 1e-10 * np.eye(M - 1), AtW @ y2
+        )
+        phi = np.concatenate([phi_head, [(full - base) - phi_head.sum()]])
 
     # distribute each window's phi uniformly over its cells, average overlaps
     heat = np.zeros((T, F))

@@ -109,3 +109,26 @@ def test_mobilenet_trains_one_step(rng):
     step = jax.jit(make_train_step(get_loss("CrossEntropyLoss")))
     state, m = step(state, x, y, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_mobilenet_features_match_published_param_count(rng):
+    """Architecture cross-check against the published MobileNetV2 table
+    (round-1 review Weak #7): torchvision's canonical mobilenet_v2 counts
+    3,504,872 parameters (1000-class head) — features-only is therefore
+    3,504,872 - (1280*1000 + 1000) = 2,223,872. Our trunk uses a 1-channel
+    stem (the reference's mel input, ASV_deep_learning.ipynb cell 28), i.e.
+    3*3*1*32 instead of 3*3*3*32 in the stem conv: 2,223,872 - 576 =
+    2,223,296 parameters exactly (BatchNorm running stats are buffers in
+    torch and batch_stats collections here — excluded on both sides)."""
+    import jax
+    from audioanalysisdetector_tpu.models.mobilenet_mfca import MobileNetV2Features
+    from audioanalysisdetector_tpu.train.state import param_count
+
+    model = MobileNetV2Features()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), train=False
+    )
+    assert param_count(variables["params"]) == 2_223_296
+
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 1)), train=False)
+    assert out.shape == (2, 2, 2, 1280)  # stride-32 trunk, 1280-ch final conv

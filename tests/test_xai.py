@@ -185,3 +185,69 @@ def test_compare_and_intervals(rng):
     assert len(iv) == 1
     start, end, sal = iv[0]
     assert abs(start - 10 * 512 / 16000) < 1e-6 and abs(end - 25 * 512 / 16000) < 1e-6
+
+
+def test_gmm_shap_matches_brute_force_shapley(rng):
+    """Exact-Shapley cross-check (round-1 review Weak #7): on instances small
+    enough to enumerate, the kernel-SHAP window attributions must equal the
+    brute-force Shapley values of the same coalition game to numerical
+    precision (reference/tets_xai.py:28-67 defines the game: masked-out
+    windows are background-substituted, value = scored probability)."""
+    from itertools import combinations
+    from math import factorial
+
+    from audioanalysisdetector_tpu.xai.shap_gmm import time_windows
+
+    k, d = 4, 5
+    g1 = DiagGMM(
+        weights=jnp.full((k,), 1 / k),
+        means=jnp.asarray(rng.standard_normal((k, d)), jnp.float32),
+        variances=jnp.ones((k, d)) * 1.2,
+    )
+    g2 = DiagGMM(
+        weights=jnp.full((k,), 1 / k),
+        means=jnp.asarray(rng.standard_normal((k, d)), jnp.float32),
+        variances=jnp.ones((k, d)) * 0.7,
+    )
+
+    def score_fn(batch):
+        mask = jnp.ones(batch.shape[:2], bool)
+        return jax.nn.sigmoid(masked_llr(batch, mask, g1, g2))
+
+    for T, size, stride in ((6, 4, 2), (8, 4, 2)):  # M = 2 and M = 3 windows
+        x = rng.standard_normal((T, d)).astype(np.float32)
+        background = np.broadcast_to(x.mean(axis=0, keepdims=True), x.shape)
+        windows = time_windows(T, size=size, stride=stride)
+        M = len(windows)
+
+        def v(z):
+            keep = np.ones(T, dtype=bool)
+            for m, (lo, hi) in enumerate(windows):
+                if z[m] == 0:
+                    keep[lo:hi] = False
+            inst = np.where(keep[:, None], x, background).astype(np.float32)
+            return float(score_fn(jnp.asarray(inst[None]))[0])
+
+        phi_exact = np.zeros(M)
+        for m in range(M):
+            others = [j for j in range(M) if j != m]
+            for r in range(M):
+                for S in combinations(others, r):
+                    wgt = factorial(r) * factorial(M - 1 - r) / factorial(M)
+                    z0 = np.zeros(M)
+                    z0[list(S)] = 1
+                    z1 = z0.copy()
+                    z1[m] = 1
+                    phi_exact[m] += wgt * (v(z1) - v(z0))
+
+        heat = gmm_shap(score_fn, x, window_size=size, stride=stride, n_coalitions=256)
+
+        # rebuild the expected heatmap from the exact window values with the
+        # same uniform-spread / overlap-average rule
+        exp = np.zeros((T, d))
+        counts = np.zeros((T, 1))
+        for m, (lo, hi) in enumerate(windows):
+            exp[lo:hi] += phi_exact[m] / (hi - lo) / d
+            counts[lo:hi] += 1
+        exp = exp / np.maximum(counts, 1.0)
+        np.testing.assert_allclose(heat, exp, rtol=1e-4, atol=1e-7)
