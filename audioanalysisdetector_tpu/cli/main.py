@@ -312,6 +312,66 @@ def cmd_train_fused(args) -> int:
     return 0
 
 
+def cmd_train_asvspoof(args) -> int:
+    """The reference's flagship recipe, METADATA-driven — one command on a
+    real ASVspoof LA tree (or the synthetic surrogate corpus): metadata +
+    FLAC/WAV folders -> 2-s chunks -> CQCC -> balance -> scale -> BiLSTM ->
+    GMM-UBM + MAP -> fused eval (ASV_deep_learning.ipynb cells 22-25)."""
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.data import (
+        balance_upsample,
+        extract_features,
+        prepare_dataframe,
+    )
+    from audioanalysisdetector_tpu.data.scaler import prepare_train_test_data
+    from audioanalysisdetector_tpu.data.shape_utils import prepare_data_gmm_bilstm
+    from audioanalysisdetector_tpu.score import eval_fused, make_fused_scorer
+    from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
+    from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
+
+    os.makedirs(args.run_dir, exist_ok=True)
+
+    def build(metadata: str, name: str) -> tuple[np.ndarray, np.ndarray]:
+        all_data = {name: {"metadata": metadata, "flac": args.audio_dir}}
+        df = prepare_dataframe(
+            all_data, balance=False, sample_size=args.sample_size,
+            extension=args.extension, rescue_dir=args.run_dir,
+        )
+        if df.empty:
+            raise SystemExit(f"no usable utterances from {metadata}")
+        df = extract_features(df, ["cqcc"], sr=args.sr)
+        df = prepare_data_gmm_bilstm(df)  # filtr_nan + time-major transpose
+        df["label_num"] = (df["label"].astype(str).str.lower() == "spoof").astype(int)
+        if name == "train":
+            df = balance_upsample(df, seed=args.seed)
+        x = np.stack([np.asarray(c, np.float32) for c in df["cqcc"]])
+        return x, df["label_num"].to_numpy()
+
+    x_tr, y_tr = build(args.train_metadata, "train")
+    x_te, y_te = build(args.eval_metadata, "eval")
+    tr, te, _ = prepare_train_test_data(
+        x_tr, x_te, scaler_path=os.path.join(args.run_dir, "scaler.npz")
+    )
+    result, bilstm_metrics = bilstm_pipeline(
+        (tr, y_tr), (te, y_te),
+        num_epochs=args.epochs, lr=args.lr, batch_size=args.batch_size,
+        hidden=args.hidden, model_dir=args.run_dir, seed=args.seed,
+    )
+    _, g_gen, g_spoof = train_gmm_system(
+        tr, y_tr, n_components=args.gmm_components, model_dir=args.run_dir,
+    )
+    scorer = make_fused_scorer(
+        result.best_state.apply_fn, {"params": result.best_state.params}, g_gen, g_spoof
+    )
+    _, _, fused_metrics = eval_fused(scorer, te, y_te, batch_size=args.batch_size)
+    print(json.dumps({
+        "bilstm": bilstm_metrics, "fused": fused_metrics,
+        "n_train": int(len(y_tr)), "n_eval": int(len(y_te)),
+    }))
+    return 0
+
+
 def cmd_gridsearch(args) -> int:
     from audioanalysisdetector_tpu.data.pipeline import extract_features
     from audioanalysisdetector_tpu.train.classical import (
@@ -413,6 +473,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--gmm-components", type=int, default=16)
     sp.add_argument("--run-dir", default="runs/GMM-BiLSTM")
     sp.set_defaults(fn=cmd_train_fused)
+
+    sp = sub.add_parser(
+        "train-asvspoof",
+        help="metadata-driven flagship recipe on an ASVspoof-layout corpus",
+    )
+    sp.add_argument("train_metadata", help="whitespace metadata file (train)")
+    sp.add_argument("eval_metadata", help="whitespace metadata file (eval)")
+    sp.add_argument("--audio-dir", nargs="+", required=True,
+                    help="folder(s) holding the FLAC/WAV files")
+    sp.add_argument("--extension", default=".flac")
+    sp.add_argument("--sr", type=int, default=16000)
+    sp.add_argument("--sample-size", type=int, default=None)
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--hidden", type=int, default=128)
+    sp.add_argument("--gmm-components", type=int, default=128)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--run-dir", default="GMM-BiLSTM")
+    sp.set_defaults(fn=cmd_train_asvspoof)
 
     sp = sub.add_parser("gridsearch", help="classical SVM/XGB sweep")
     common(sp)

@@ -1,0 +1,68 @@
+"""Surrogate-corpus quality tests: generator properties + the EER trend recipe."""
+
+import json
+
+import numpy as np
+import pytest
+
+from audioanalysisdetector_tpu.data.synthetic import (
+    SPOOF_TIERS,
+    make_surrogate_corpus,
+    synth_bonafide,
+    synth_spoof,
+)
+
+
+def test_generator_deterministic():
+    a = synth_bonafide(np.random.default_rng(7), 8000, 16000)
+    b = synth_bonafide(np.random.default_rng(7), 8000, 16000)
+    np.testing.assert_array_equal(a, b)
+    for tier in SPOOF_TIERS:
+        a = synth_spoof(np.random.default_rng(7), 8000, 16000, tier)
+        b = synth_spoof(np.random.default_rng(7), 8000, 16000, tier)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_generator_output_sane():
+    for gen in [lambda r: synth_bonafide(r, 16000, 16000)] + [
+        (lambda r, t=t: synth_spoof(r, 16000, 16000, t)) for t in SPOOF_TIERS
+    ]:
+        y = gen(np.random.default_rng(0))
+        assert y.shape == (16000,)
+        assert np.isfinite(y).all()
+        assert 0.1 < np.abs(y).max() <= 1.0
+
+
+def test_corpus_layout_and_ingestion(tmp_path):
+    """The written tree must flow through the standard LA ingestion path
+    (metadata auto-detect + FLAC decode)."""
+    from audioanalysisdetector_tpu.data import prepare_dataframe
+    from audioanalysisdetector_tpu.io import load_audio
+
+    meta, flac_dir = make_surrogate_corpus(
+        str(tmp_path), n_bonafide=3, n_spoof_per_tier=1, seconds=2.5, seed=3,
+        subset="train",
+    )
+    df = prepare_dataframe(
+        {"LA": {"metadata": meta, "flac": [flac_dir]}},
+        balance=False, sample_size=None, rescue_dir=str(tmp_path),
+    )
+    assert len(df) == 6  # 6 utterances x one 2-s chunk
+    assert set(df["label"]) == {"bonafide", "spoof"}
+    y, sr = load_audio(df["file_path"].iloc[0])
+    assert sr == 16000 and len(y) == 40000
+
+
+@pytest.mark.slow
+def test_surrogate_quality_recipe_learns(tmp_path):
+    """The frozen QUALITY recipe must keep beating chance by a wide margin —
+    the round-over-round EER trend line (round-1 review Missing #2).
+    Round-2 reference values (CPU, deterministic): bilstm EER 0.167,
+    fused EER 0.233 (vs the real-data reference 0.2565)."""
+    from audioanalysisdetector_tpu.train.quality import run_surrogate_quality
+
+    metrics = run_surrogate_quality(str(tmp_path))
+    assert metrics["n_train"] == 156 and metrics["n_eval"] == 60
+    assert metrics["bilstm"]["eer"] <= 0.35, metrics["bilstm"]
+    assert metrics["fused"]["eer"] <= 0.35, metrics["fused"]
+    assert metrics["fused"]["accuracy"] >= 0.6, metrics["fused"]
