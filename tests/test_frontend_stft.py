@@ -60,3 +60,33 @@ def test_win_length_shorter_than_nfft(rng):
     ours = np.asarray(stft(jnp.asarray(y), n_fft=1024, hop_length=256, win_length=400))
     ref = np_ref.stft_ref(y, 1024, 256, win_length=400)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_block_power_spectrogram_matches_direct(rng):
+    """The shared-block DFT decomposition (measured-and-rejected perf
+    alternative; see its docstring) must still be algebraically right:
+    it matches the direct windowed-DFT path within the f32 leakage-
+    cancellation bound measured when it was written (<=0.5% of peak)."""
+    from audioanalysisdetector_tpu.frontend.stft import power_spectrogram
+
+    y = jnp.asarray(
+        (rng.standard_normal((3, 16000)) * 0.3
+         + np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)).astype(np.float32)
+    )
+    a = np.asarray(power_spectrogram(y, method="matmul"))
+    b = np.asarray(power_spectrogram(y, method="block"))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() / a.max() < 0.005
+    # and in float64-golden terms the big bins agree tightly
+    m = a > a.max() * 1e-2
+    assert (np.abs(a - b)[m] / a[m]).max() < 0.02
+
+
+def test_block_method_eligibility():
+    from audioanalysisdetector_tpu.frontend.stft import block_method_eligible
+
+    assert block_method_eligible(2048, 512, None, "hann", True)
+    assert not block_method_eligible(2048, 500, None, "hann", True)   # hop !| n_fft
+    assert not block_method_eligible(2048, 512, 1024, "hann", True)   # short window
+    assert not block_method_eligible(2048, 512, None, "hamming", True)
+    assert not block_method_eligible(2048, 512, None, "hann", False)  # no centering
