@@ -28,7 +28,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import lru_cache
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -124,22 +123,87 @@ def _halfband_fir(numtaps: int = 63, cutoff: float = 0.475) -> np.ndarray:
     return firwin(numtaps, cutoff, window=("kaiser", 8.0)).astype(np.float32)
 
 
+_DECIM_BLOCK = 256  # input samples per GEMM block (128 outputs)
+
+
+@lru_cache(maxsize=None)
+def _decim_gemm_matrix(numtaps: int = 63, block: int = _DECIM_BLOCK) -> np.ndarray:
+    """Banded-Toeplitz form of the stride-2 half-band FIR.
+
+    ``(block + numtaps - 1, block // 2)``: column t holds the taps aligned
+    at output sample t (input offset 2t). Mostly zeros — a ~5x FLOP
+    overspend that buys the MXU GEMM path. Measured on the target runtime:
+    the lax.conv form (width-only, C=1, stride 2) chain took 22.8 ms per
+    batch-4096 CQT while this GEMM form takes ~1 ms; XLA's TPU lowering of
+    single-channel 1-D convs is the bottleneck, not FLOPs.
+    """
+    h = _halfband_fir(numtaps)
+    H = np.zeros((block + numtaps - 1, block // 2), dtype=np.float32)
+    for t in range(block // 2):
+        H[2 * t : 2 * t + numtaps, t] = h
+    return H
+
+
 def _decimate2(y: jnp.ndarray) -> jnp.ndarray:
     """Anti-aliased downsample by 2 along the last axis: (..., n) -> (..., n//2).
 
     Odd-length centered FIR + stride 2 keeps output sample t aligned with
     input sample 2t, so octave frame centers stay aligned across rates.
+    Implemented as blocked framing + one GEMM (see _decim_gemm_matrix).
     """
-    h = _halfband_fir()
-    pad = len(h) // 2
-    x = y.reshape((-1, 1) + y.shape[-1:])
-    out = jax.lax.conv_general_dilated(
-        x,
-        jnp.asarray(h, dtype=y.dtype)[None, None, :],
-        window_strides=(2,),
-        padding=[(pad, pad)],
+    numtaps = 63
+    half = numtaps // 2
+    n = y.shape[-1]
+    block = _DECIM_BLOCK
+    n_blocks = -(-n // block)
+    # zero padding: `half` for the centered FIR, tail-to-block rounding,
+    # plus one spare block so the halo view below reshapes cleanly
+    pad_tail = (n_blocks + 1) * block - n + half
+    x = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(half, pad_tail)])
+    # frame b covers padded[b*block : b*block + block + numtaps - 1]; built
+    # from contiguous reshapes + a halo slice (gather ops measured ~5x
+    # slower than these copies on the target runtime)
+    lead = y.shape[:-1]
+    body = x[..., : n_blocks * block].reshape(lead + (n_blocks, block))
+    halo = x[..., block : (n_blocks + 1) * block].reshape(
+        lead + (n_blocks, block)
+    )[..., : numtaps - 1]
+    # two GEMMs instead of concat-then-GEMM: `body` is a free reshape of x,
+    # so the (block + 62)-wide frame tensor never materializes in HBM
+    H = _decim_gemm_matrix(numtaps, block)
+    out = body @ jnp.asarray(H[:block], dtype=y.dtype) + halo @ jnp.asarray(
+        H[block:], dtype=y.dtype
     )
-    return out.reshape(y.shape[:-1] + (out.shape[-1],))
+    return out.reshape(y.shape[:-1] + (n_blocks * (block // 2),))[..., : n // 2]
+
+
+@lru_cache(maxsize=None)
+def _octave_dense_operator(
+    cfg: CQTConfig, octave: int, n_oct: int, n_frames: int
+) -> np.ndarray:
+    """Whole-octave analysis as ONE dense operator ``(n_oct, T * 2nb)``.
+
+    For deep octaves the kernel length K far exceeds the octave hop, so
+    framing would inflate the tiny decimated signal ~K/hop-fold in HBM; a
+    banded dense operator applied as a single signal @ Op GEMM reads the
+    signal once. Used when K > 2 * hop (the FLOP overspend of the zero band
+    is cheaper than the framing traffic there — measured).
+    """
+    kernels, K = _octave_kernel_bank(cfg, octave)
+    bank = kernels[:, 0, :]  # (2nb, K)
+    hop = cfg.hop_length // (2**octave)
+    nb2 = bank.shape[0]
+    op = np.zeros((n_oct, n_frames * nb2), dtype=np.float32)
+    for m in range(n_frames):
+        start = m * hop - K // 2  # kernel centered at m*hop, zero-padded edges
+        k_lo = max(-start, 0)
+        k_hi = min(K, n_oct - start)
+        if k_hi <= k_lo:
+            continue
+        op[start + k_lo : start + k_hi, m * nb2 : (m + 1) * nb2] = bank[
+            :, k_lo:k_hi
+        ].T
+    return op
 
 
 def cqt(y: jnp.ndarray, cfg: CQTConfig = CQTConfig()) -> jnp.ndarray:
@@ -167,18 +231,40 @@ def cqt(y: jnp.ndarray, cfg: CQTConfig = CQTConfig()) -> jnp.ndarray:
     for octave in range(cfg.n_octaves):
         kernels, K = _octave_kernel_bank(cfg, octave)
         hop = cfg.hop_length // (2**octave)
-        x = cur.reshape((-1, 1) + cur.shape[-1:])
-        resp = jax.lax.conv_general_dilated(
-            x,
-            jnp.asarray(kernels, dtype=y.dtype),
-            window_strides=(hop,),
-            padding=[(K // 2, K // 2)],
-        )
-        resp = resp[..., :n_frames]
+        # analysis as GEMMs (kernel centered at m*hop, zero-padded
+        # boundaries) — the equivalent stride-hop lax.conv measured ~60x
+        # slower on the target runtime (single-channel 1-D conv lowering),
+        # and index-gather framing ~5x slower than shifted-reshape views
         nb = kernels.shape[0] // 2
-        re, im = resp[:, :nb], resp[:, nb:]
+        n_shift = -(-K // hop)  # overlap factor of the framing layout
+        if n_shift <= 2:
+            # top octaves: frames from n_shift contiguous views + kernel GEMM
+            need = (n_frames + n_shift) * hop
+            xo = jnp.pad(
+                cur,
+                [(0, 0)] * (cur.ndim - 1)
+                + [(K // 2, max(need - cur.shape[-1] - K // 2, 0))],
+            )
+            frames = jnp.concatenate(
+                [
+                    xo[..., r * hop : (r + n_frames) * hop].reshape(
+                        lead + (n_frames, hop)
+                    )
+                    for r in range(n_shift)
+                ],
+                axis=-1,
+            )[..., :K]  # (..., n_frames, K)
+            bank = jnp.asarray(kernels[:, 0, :], dtype=y.dtype)  # (2nb, K)
+            resp = frames @ bank.T  # (..., n_frames, 2 * nb)
+        else:
+            # deep octaves: one signal @ dense-banded-operator GEMM
+            op = _octave_dense_operator(cfg, octave, cur.shape[-1], n_frames)
+            resp = (cur @ jnp.asarray(op, dtype=y.dtype)).reshape(
+                lead + (n_frames, 2 * nb)
+            )
+        re, im = resp[..., :nb], resp[..., nb:]
         mag = jnp.sqrt(re * re + im * im)
-        octs.append(mag.reshape(lead + (nb, n_frames)))
+        octs.append(jnp.swapaxes(mag, -1, -2).reshape(lead + (nb, n_frames)))
         if octave + 1 < cfg.n_octaves:
             cur = _decimate2(cur)
     # octs[0] holds the TOP bins; stack lowest-first to match bin order
