@@ -512,6 +512,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # cold TPU compiles cost tens of seconds on tunneled runtimes; the
+    # persistent cache (keyed by HLO hash) makes repeat CLI invocations warm
+    from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -27,6 +27,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from audioanalysisdetector_tpu.frontend.mel import MelConfig
     from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
     from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer

@@ -88,6 +88,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from audioanalysisdetector_tpu.frontend.mel import MelConfig
     from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
     from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid

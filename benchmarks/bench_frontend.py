@@ -20,6 +20,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from audioanalysisdetector_tpu.data.pipeline import default_extractors
 
     B = 2048

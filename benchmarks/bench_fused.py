@@ -30,6 +30,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from audioanalysisdetector_tpu.frontend.cqcc import CQCCConfig, cqcc, transpose_cqcc
     from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
     from audioanalysisdetector_tpu.models.gmm import DiagGMM

@@ -23,6 +23,9 @@ def main() -> None:
     import jax.numpy as jnp
 
     from audioanalysisdetector_tpu.models.gmm import fit_em, map_adapt
+    from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     n_frames, dim, k = 1_800_000, 19, 128
     rng = np.random.default_rng(0)

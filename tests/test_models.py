@@ -215,3 +215,15 @@ def test_fit_em_device_side_convergence_semantics(rng):
     np.testing.assert_allclose(
         np.asarray(stopped.weights), np.asarray(two_iter.weights), rtol=1e-6
     )
+
+
+def test_fit_em_flat_matches_chunked(rng):
+    """The flat (responsibilities-materialized) EM path used for HBM-sized
+    fits must agree with the chunked lax.scan fallback — same math, different
+    accumulation order, so only fp tolerance separates them."""
+    x = rng.standard_normal((3000, 5)).astype(np.float32) * [1, 2, 0.5, 1, 3]
+    flat = fit_em(x, n_components=6, max_iter=20, tol=0.0, seed=3)
+    chunked = fit_em(x, n_components=6, max_iter=20, tol=0.0, seed=3, flat_bytes=0, chunk=512)
+    np.testing.assert_allclose(np.asarray(flat.means), np.asarray(chunked.means), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(flat.variances), np.asarray(chunked.variances), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(flat.weights), np.asarray(chunked.weights), rtol=2e-4, atol=2e-5)
