@@ -189,14 +189,19 @@ def _lloyd(sub: jnp.ndarray, centers: jnp.ndarray, iters: int = 10) -> jnp.ndarr
     return out
 
 
-def _kmeans_init(x: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+def _kmeans_init(x, k: int, seed: int, iters: int = 10) -> np.ndarray:
     """k-means++ seeding (host, incremental) + Lloyd on device.
 
     sklearn's GaussianMixture defaults to k-means initialization; a subsample
-    suffices to place initial responsibilities.
+    suffices to place initial responsibilities. ``x`` may be a host or a
+    device array — only the ≤100k-row subsample ever crosses to the host.
     """
     rng = np.random.default_rng(seed)
-    sub = x[rng.choice(x.shape[0], min(x.shape[0], 100_000), replace=False)]
+    idx = rng.choice(x.shape[0], min(x.shape[0], 100_000), replace=False)
+    if isinstance(x, jax.Array):
+        sub = np.asarray(jnp.take(x, jnp.asarray(idx), axis=0))
+    else:
+        sub = x[idx]
     seed_pool = sub[: min(len(sub), 20_000)]
     centers = [seed_pool[rng.integers(len(seed_pool))]]
     d2 = np.full(len(seed_pool), np.inf, dtype=np.float32)
@@ -229,22 +234,42 @@ def fit_em(
     (``N * n_components * 4``), iterations run unchunked (``_em_step_flat``,
     ~7x faster end-to-end on the 1.8M-frame benchmark); larger fits fall
     back to the chunked ``lax.scan`` accumulator that never materializes it.
+
+    ``x`` may be a device-resident ``jax.Array`` — then nothing but the
+    k-means subsample and per-iteration scalars ever cross the interconnect
+    (the training orchestration uploads frames ONCE and reuses the buffer
+    for MAP adaptation; see ``train/gmm_system.py``).
     """
-    x = np.asarray(x, dtype=np.float32)
+    on_device = isinstance(x, jax.Array)
+    if on_device:
+        x = x.astype(jnp.float32)
+        var_host = np.asarray(jnp.var(x, axis=0))
+    else:
+        x = np.asarray(x, dtype=np.float32)
+        var_host = x.var(axis=0)
     centers = _kmeans_init(x, n_components, seed)
-    var0 = np.full((n_components, x.shape[1]), x.var(axis=0) + reg_covar, dtype=np.float32)
+    var0 = np.full((n_components, x.shape[1]), var_host + reg_covar, dtype=np.float32)
     gmm = DiagGMM(
         weights=jnp.full((n_components,), 1.0 / n_components, jnp.float32),
         means=jnp.asarray(centers, jnp.float32),
         variances=jnp.asarray(var0),
     )
     if x.shape[0] * n_components * 4 <= flat_bytes:
-        xd = jax.device_put(x)
+        xd = x if on_device else jax.device_put(x)
         step = lambda g: _em_step_flat(xd, g, reg_covar=reg_covar)
     else:
-        xc_np, wc_np = _pad_to_chunks(x, chunk)
-        # device_put (not asarray) — materializes the upload eagerly and fast
-        xc, wc = jax.device_put(xc_np), jax.device_put(wc_np)
+        if on_device:
+            n = x.shape[0]
+            n_chunks = -(-n // chunk)
+            pad = n_chunks * chunk - n
+            xc = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+            wc = jnp.concatenate(
+                [jnp.ones(n, x.dtype), jnp.zeros(pad, x.dtype)]
+            ).reshape(n_chunks, chunk)
+        else:
+            xc_np, wc_np = _pad_to_chunks(x, chunk)
+            # device_put (not asarray) — materializes the upload eagerly
+            xc, wc = jax.device_put(xc_np), jax.device_put(wc_np)
         step = lambda g: _em_step(xc, wc, g, reg_covar=reg_covar)
     if verbose:
         # per-iteration host fetch only when asked to narrate
@@ -286,12 +311,14 @@ def fit_em(
     return gmm
 
 
+@partial(jax.jit, static_argnames=("relevance_factor", "var_floor"))
 def map_adapt(
     ubm: DiagGMM,
     x: jnp.ndarray,
     *,
     relevance_factor: float = 10.0,
     var_floor: float = 1e-6,
+    frame_weights: jnp.ndarray | None = None,
 ) -> DiagGMM:
     """MAP adaptation with the reference's exact update equations
     (reference/ASV_dl_func.py:1172-1197).
@@ -299,8 +326,14 @@ def map_adapt(
     The reference loops 20 iterations, but every iteration recomputes
     responsibilities from the *UBM* (not the adapted model), so the update is
     idempotent — one evaluation yields the reference's fixed point exactly.
+
+    ``frame_weights`` (N,) weights each frame's sufficient statistics; a 0/1
+    mask adapts to a subset of a shared device-resident frame buffer without
+    a second upload (exactly equal to slicing the subset out).
     """
     resp = predict_proba(x, ubm)  # (N, K)
+    if frame_weights is not None:
+        resp = resp * frame_weights[:, None]
     nk = jnp.sum(resp, axis=0) + 1e-6
     fk = resp.T @ x
     sk = resp.T @ (x * x)

@@ -4,7 +4,8 @@ Counterpart of ``gmm_model`` / ``load_gmm_models``
 (reference/ASV_dl_func.py:1132-1170): fit a 128-component diagonal UBM on
 all training frames, MAP-adapt genuine (label 0) and spoof (label 1)
 models, persist all three. Storage is npz (no pickle). The reference's UBM
-EM takes 478.85 s on CPU; this path runs the chunked-GEMM EM on device.
+EM takes 478.85 s on CPU; this path runs the flat GEMM EM on device off a
+single uploaded frame buffer shared by EM and both MAP adaptations.
 """
 
 from __future__ import annotations
@@ -45,24 +46,30 @@ def train_gmm_system(
     labels = np.asarray(labels)
     all_frames = _stack_frames(train_seqs)
 
+    import jax
+    import jax.numpy as jnp
+
+    # ONE upload: EM and both MAP adaptations share this device buffer —
+    # the class split is a 0/1 frame-weight mask, not a second transfer
+    # (the host->device link is the scarce resource on tunneled runtimes)
+    xd = jax.device_put(np.ascontiguousarray(all_frames, dtype=np.float32))
+    frames_per_seq = int(np.asarray(train_seqs).shape[1])
+    frame_labels = np.repeat(labels, frames_per_seq)
+
     t0 = time.time()
-    ubm = fit_em(
-        all_frames, n_components, max_iter=max_iter, seed=seed, verbose=verbose
-    )
+    ubm = fit_em(xd, n_components, max_iter=max_iter, seed=seed, verbose=verbose)
     t_ubm = time.time() - t0
     if verbose:
         print(f"UBM EM done in {t_ubm:.2f}s on {len(all_frames)} frames")
 
     t0 = time.time()
-    import jax.numpy as jnp
-
+    w_genuine = jnp.asarray((frame_labels == 0).astype(np.float32))
     gmm_genuine = map_adapt(
-        ubm, jnp.asarray(_stack_frames(train_seqs[labels == 0])),
-        relevance_factor=relevance_factor,
+        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_genuine
     )
+    w_spoof = jnp.asarray((frame_labels == 1).astype(np.float32))
     gmm_spoof = map_adapt(
-        ubm, jnp.asarray(_stack_frames(train_seqs[labels == 1])),
-        relevance_factor=relevance_factor,
+        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_spoof
     )
     if verbose:
         print(f"MAP adaptation done in {time.time() - t0:.2f}s")

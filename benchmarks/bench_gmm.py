@@ -33,15 +33,27 @@ def main() -> None:
     assign = rng.integers(0, 8, n_frames)
     x = (centers[assign] + rng.standard_normal((n_frames, dim))).astype(np.float32)
 
+    import jax
+
+    # the pipeline uploads frames ONCE; EM and both MAP adaptations share
+    # the buffer (train/gmm_system.py). Upload is timed separately — it is
+    # tunnel bandwidth, not compute.
     t0 = time.time()
-    ubm = fit_em(x, k, max_iter=100, tol=0.0, seed=42)  # tol=0: full 100 iters
+    xd = jax.device_put(x)
+    assert np.isfinite(float(jnp.sum(xd[0])))  # force the transfer
+    t_upload = time.time() - t0
+
+    t0 = time.time()
+    ubm = fit_em(xd, k, max_iter=100, tol=0.0, seed=42)  # tol=0: full 100 iters
     assert np.isfinite(float(jnp.sum(ubm.means)))  # force the async chain
     t_ubm = time.time() - t0
 
     t0 = time.time()
     half = n_frames // 2
-    _ = map_adapt(ubm, jnp.asarray(x[:half]))
-    _ = map_adapt(ubm, jnp.asarray(x[half:]))
+    w = jnp.concatenate([jnp.ones(half), jnp.zeros(n_frames - half)])
+    g1 = map_adapt(ubm, xd, frame_weights=w)
+    g2 = map_adapt(ubm, xd, frame_weights=1.0 - w)
+    assert np.isfinite(float(jnp.sum(g1.means) + jnp.sum(g2.means)))
     t_map = time.time() - t0
 
     print(json.dumps({
@@ -49,6 +61,7 @@ def main() -> None:
         "value": round(t_ubm, 2),
         "unit": "s",
         "vs_baseline": round(478.85 / t_ubm, 2),  # speedup over 478.85 s CPU sklearn
+        "upload_seconds": round(t_upload, 2),
         "map_adapt_seconds": round(t_map, 2),
         "map_adapt_baseline_seconds": 87.11,
         "map_speedup": round(87.11 / t_map, 1),

@@ -217,6 +217,32 @@ def test_fit_em_device_side_convergence_semantics(rng):
     )
 
 
+def test_map_adapt_frame_weights_equals_subset(rng):
+    """MAP with a 0/1 frame-weight mask over a shared buffer must equal MAP
+    on the sliced subset — the single-upload training path relies on it."""
+    ubm = _rand_gmm(rng, k=5, d=3)
+    x = rng.standard_normal((400, 3)).astype(np.float32)
+    mask = (rng.random(400) < 0.4).astype(np.float32)
+    weighted = map_adapt(ubm, jnp.asarray(x), frame_weights=jnp.asarray(mask))
+    subset = map_adapt(ubm, jnp.asarray(x[mask.astype(bool)]))
+    np.testing.assert_allclose(np.asarray(weighted.means), np.asarray(subset.means), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(weighted.variances), np.asarray(subset.variances), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(weighted.weights), np.asarray(subset.weights), rtol=1e-5, atol=1e-7)
+
+
+def test_fit_em_device_input_matches_host_input(rng):
+    """fit_em on a device-resident jax.Array (the single-upload path) must
+    reproduce the host-array fit — same seed, same rng sequence; only the
+    initial-variance reduction order (jnp.var vs np.var) injects fp noise."""
+    import jax
+
+    x = rng.standard_normal((2500, 4)).astype(np.float32)
+    host = fit_em(x, n_components=3, max_iter=15, seed=7)
+    dev = fit_em(jax.device_put(x), n_components=3, max_iter=15, seed=7)
+    np.testing.assert_allclose(np.asarray(host.means), np.asarray(dev.means), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(host.variances), np.asarray(dev.variances), rtol=1e-3, atol=1e-5)
+
+
 def test_fit_em_flat_matches_chunked(rng):
     """The flat (responsibilities-materialized) EM path used for HBM-sized
     fits must agree with the chunked lax.scan fallback — same math, different
