@@ -123,7 +123,7 @@ def _halfband_fir(numtaps: int = 63, cutoff: float = 0.475) -> np.ndarray:
     return firwin(numtaps, cutoff, window=("kaiser", 8.0)).astype(np.float32)
 
 
-_DECIM_BLOCK = 256  # input samples per GEMM block (128 outputs)
+_DECIM_BLOCK = 256  # input samples per GEMM block (128 outputs), padded path
 
 
 @lru_cache(maxsize=None)
@@ -131,11 +131,12 @@ def _decim_gemm_matrix(numtaps: int = 63, block: int = _DECIM_BLOCK) -> np.ndarr
     """Banded-Toeplitz form of the stride-2 half-band FIR.
 
     ``(block + numtaps - 1, block // 2)``: column t holds the taps aligned
-    at output sample t (input offset 2t). Mostly zeros — a ~5x FLOP
-    overspend that buys the MXU GEMM path. Measured on the target runtime:
-    the lax.conv form (width-only, C=1, stride 2) chain took 22.8 ms per
-    batch-4096 CQT while this GEMM form takes ~1 ms; XLA's TPU lowering of
-    single-channel 1-D convs is the bottleneck, not FLOPs.
+    at output sample t (input offset 2t, rows shifted so row 0 is input
+    sample ``-half`` relative to the block start). Mostly zeros — a ~5x
+    FLOP overspend that buys the MXU GEMM path. Measured on the target
+    runtime: the lax.conv form (width-only, C=1, stride 2) chain took
+    22.8 ms per batch-4096 CQT while the GEMM forms take ~1 ms; XLA's TPU
+    lowering of single-channel 1-D convs is the bottleneck, not FLOPs.
     """
     h = _halfband_fir(numtaps)
     H = np.zeros((block + numtaps - 1, block // 2), dtype=np.float32)
@@ -144,32 +145,62 @@ def _decim_gemm_matrix(numtaps: int = 63, block: int = _DECIM_BLOCK) -> np.ndarr
     return H
 
 
+@lru_cache(maxsize=None)
+def _decim_block_for(n: int) -> int | None:
+    """Largest even divisor of ``n`` in [128, 512], or None.
+
+    A divisor block lets the signal reshape into whole blocks for free (no
+    global pad copy); [128, 512] keeps the banded operator's FLOP overspend
+    ((block+62)/63 ≈ 3-9x) cheap relative to the HBM traffic it saves.
+    """
+    best = None
+    for b in range(128, 513, 2):
+        if n % b == 0:
+            best = b
+    return best
+
+
 def _decimate2(y: jnp.ndarray) -> jnp.ndarray:
     """Anti-aliased downsample by 2 along the last axis: (..., n) -> (..., n//2).
 
     Odd-length centered FIR + stride 2 keeps output sample t aligned with
     input sample 2t, so octave frame centers stay aligned across rates.
-    Implemented as blocked framing + one GEMM (see _decim_gemm_matrix).
+
+    Fast path: ``y`` reshapes for free into whole blocks (``_decim_block_for``),
+    the 31-sample halos on either side are small slice+pad copies, and the
+    whole stage is ONE frames @ H GEMM. One GEMM matters: with separate
+    body/halo GEMMs each writes its own full-size output and the adds re-read
+    them — measured 9.6 ms for the 6-stage batch-4096 chain vs 7.7 ms for
+    this concat-then-one-GEMM form (the padded fallback is the 9.6 ms shape).
     """
     numtaps = 63
     half = numtaps // 2
     n = y.shape[-1]
+    lead = y.shape[:-1]
+    nd = y.ndim - 1
+    block = _decim_block_for(n)
+    if block is not None:
+        H = _decim_gemm_matrix(numtaps, block)
+        nb = n // block
+        body = y.reshape(lead + (nb, block))  # free reshape, no pad copy
+        prev_tail = jnp.pad(
+            body[..., :-1, block - half :], [(0, 0)] * nd + [(1, 0), (0, 0)]
+        )
+        next_head = jnp.pad(
+            body[..., 1:, :half], [(0, 0)] * nd + [(0, 1), (0, 0)]
+        )
+        frames = jnp.concatenate([prev_tail, body, next_head], axis=-1)
+        out = frames @ jnp.asarray(H, dtype=y.dtype)
+        return out.reshape(lead + (nb * (block // 2),))
+    # fallback (n with no usable divisor): global zero-pad + body/halo GEMMs
     block = _DECIM_BLOCK
     n_blocks = -(-n // block)
-    # zero padding: `half` for the centered FIR, tail-to-block rounding,
-    # plus one spare block so the halo view below reshapes cleanly
     pad_tail = (n_blocks + 1) * block - n + half
-    x = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(half, pad_tail)])
-    # frame b covers padded[b*block : b*block + block + numtaps - 1]; built
-    # from contiguous reshapes + a halo slice (gather ops measured ~5x
-    # slower than these copies on the target runtime)
-    lead = y.shape[:-1]
+    x = jnp.pad(y, [(0, 0)] * nd + [(half, pad_tail)])
     body = x[..., : n_blocks * block].reshape(lead + (n_blocks, block))
     halo = x[..., block : (n_blocks + 1) * block].reshape(
         lead + (n_blocks, block)
     )[..., : numtaps - 1]
-    # two GEMMs instead of concat-then-GEMM: `body` is a free reshape of x,
-    # so the (block + 62)-wide frame tensor never materializes in HBM
     H = _decim_gemm_matrix(numtaps, block)
     out = body @ jnp.asarray(H[:block], dtype=y.dtype) + halo @ jnp.asarray(
         H[block:], dtype=y.dtype
@@ -237,8 +268,47 @@ def cqt(y: jnp.ndarray, cfg: CQTConfig = CQTConfig()) -> jnp.ndarray:
         # and index-gather framing ~5x slower than shifted-reshape views
         nb = kernels.shape[0] // 2
         n_shift = -(-K // hop)  # overlap factor of the framing layout
-        if n_shift <= 2:
-            # top octaves: frames from n_shift contiguous views + kernel GEMM
+        n_cur = cur.shape[-1]
+        hb = K // 4  # chunk width of the strided-view framing below
+        if (
+            n_shift <= 2
+            and hb >= 16
+            and K % 4 == 0
+            and hop % hb == 0
+            and n_cur % hb == 0
+        ):
+            # top octaves, fast path: frame m (window [m*hop - K/2, m*hop + K/2))
+            # is 4 width-hb chunks at indices m*(hop//hb) + c - 2, c = 0..3.
+            # Each c gives a strided view of the free chunk reshape, consumed
+            # by its own slim GEMM against a quarter of the kernel bank; the
+            # (n_frames, 2nb) outputs are tiny so the 4-term add is free. This
+            # avoids the padded path's global K//2 zero-pad (a full-signal HBM
+            # copy — 525 MB for batch 4096 at octave 0) and never materializes
+            # the (n_frames, K) frame tensor. Measured (with the one-GEMM
+            # decimation): batch-4096 CQT 11.6 -> 8.5 ms.
+            s = hop // hb
+            nchunks = n_cur // hb
+            chunks = cur.reshape(lead + (nchunks, hb))
+            bank = jnp.asarray(kernels[:, 0, :], dtype=y.dtype)  # (2nb, K)
+            resp = None
+            nd = cur.ndim - 1
+            for c in range(4):
+                start = c - 2  # chunk index used by frame 0
+                npf = (-start + s - 1) // s if start < 0 else 0
+                i0 = npf * s + start
+                lastidx = (n_frames - 1) * s + start
+                npb = 0
+                i1 = lastidx + 1
+                if lastidx > nchunks - 1:
+                    npb = -(-(lastidx - (nchunks - 1)) // s)
+                    i1 = max((n_frames - 1 - npb) * s + start + 1, i0)
+                v = chunks[..., i0:i1:s, :]
+                if npf or npb:  # edge frames whose chunk falls outside: zeros
+                    v = jnp.pad(v, [(0, 0)] * nd + [(npf, npb), (0, 0)])
+                term = v @ bank[:, c * hb : (c + 1) * hb].T
+                resp = term if resp is None else resp + term
+        elif n_shift <= 2:
+            # top octaves, general path: frames from n_shift contiguous views
             need = (n_frames + n_shift) * hop
             xo = jnp.pad(
                 cur,
