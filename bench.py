@@ -37,7 +37,7 @@ def main() -> None:
 
     sr, seconds = 16000, 2
     batch = 8192
-    n_iters = 15
+    n_iters = 40  # amortizes the tunnel's ~69 ms scalar-fetch latency to <2%
 
     rng = np.random.default_rng(0)
     wav_host = (rng.standard_normal((batch, sr * seconds)) * 0.1).astype(np.float32)
@@ -55,15 +55,18 @@ def main() -> None:
     scores = scorer(wav)
     assert scores.shape == (batch,) and bool(np.isfinite(np.asarray(scores)).all())
 
-    # chained iterations: each batch depends on the previous result, and the
-    # final scalar fetch forces the whole chain — dispatch-only timing is
-    # impossible by construction. The whole iteration (perturb + score +
-    # reduce) is ONE jitted dispatch so per-call tunnel RPC overhead doesn't
-    # pollute the measurement.
+    # chained iterations: each dispatch takes the previous accumulator as an
+    # INPUT, so program i cannot start before program i-1's output exists,
+    # and the final scalar fetch forces the whole chain — dispatch-only
+    # timing is impossible by construction. The accumulator feeds only the
+    # output-side reduction (threading it into the waveform would add an
+    # artificial full-batch copy per iteration). The whole iteration is ONE
+    # jitted dispatch so per-call tunnel RPC overhead doesn't pollute the
+    # measurement.
     from audioanalysisdetector_tpu.score.e2e import melspec_features
 
     def chained_step(wav, acc):
-        feats = melspec_features(wav + acc * 1e-12, mel_cfg)
+        feats = melspec_features(wav, mel_cfg)
         out = model.apply(variables, feats, train=False).reshape(-1)
         return acc + jnp.sum(out)
 

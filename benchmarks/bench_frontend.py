@@ -27,12 +27,12 @@ def main() -> None:
     from audioanalysisdetector_tpu.data.pipeline import default_extractors
 
     B = 2048
-    n_iters = 8
+    n_iters = 40
     wav = jax.random.normal(jax.random.PRNGKey(0), (B, 32000), jnp.float32) * 0.1
     results = {}
     for name, fn in default_extractors(16000).items():
         def step(w, acc, fn=fn):
-            out = fn(w + acc * 1e-12)
+            out = fn(w)  # acc serializes via the output-side reduction only
             return acc + jnp.sum(out, dtype=jnp.float32)
 
         chained = jax.jit(step)

@@ -39,7 +39,7 @@ def main() -> None:
     from audioanalysisdetector_tpu.models.gmm import DiagGMM
     from audioanalysisdetector_tpu.score.fused import fused_scores
 
-    sr, seconds, batch, n_iters = 16000, 2, 4096, 10
+    sr, seconds, batch, n_iters = 16000, 2, 4096, 50
     cfg = CQCCConfig.for_sr(sr)
     rng = np.random.default_rng(0)
 
@@ -57,8 +57,10 @@ def main() -> None:
         variances=jnp.ones((k, d)) * 0.8,
     )
 
+    # acc (an input) serializes the dispatch chain; it feeds only the
+    # output-side reduction, so the waveform isn't copied per iteration
     def chained(wav, acc):
-        feats = transpose_cqcc(cqcc(wav + acc * 1e-12, cfg))
+        feats = transpose_cqcc(cqcc(wav, cfg))
         s = fused_scores(model.apply, variables, gmm_g, gmm_s, feats)
         return acc + jnp.sum(s)
 

@@ -45,7 +45,7 @@ def main() -> None:
     from audioanalysisdetector_tpu.train.steps import make_train_step
 
     # measured: 138.9k utt/s @2048, 144.0k @4096, 148.9k @8192 — take 8192
-    sr, seconds, batch, n_iters = 16000, 2, 8192, 15
+    sr, seconds, batch, n_iters = 16000, 2, 8192, 40
     mel_cfg = MelConfig(sr=sr, n_mels=64)
 
     model = CNNBiLSTMHybrid(logits=True)
