@@ -33,6 +33,11 @@ import numpy as np
 
 C1_HZ = 32.70319566257483  # librosa.note_to_hz('C1') — reference/ASV_dl_func.py:454
 
+# test hooks: force the general (padded) framing/decimation paths so the
+# fast strided-view paths can be parity-checked against them
+_FORCE_GENERAL_FRAMING = False
+_FORCE_PADDED_DECIM = False
+
 
 def cqt_frequencies(n_bins: int, fmin: float, bins_per_octave: int = 12) -> np.ndarray:
     """Center frequencies ``fmin * 2**(k / B)`` (librosa.cqt_frequencies)."""
@@ -178,7 +183,7 @@ def _decimate2(y: jnp.ndarray) -> jnp.ndarray:
     n = y.shape[-1]
     lead = y.shape[:-1]
     nd = y.ndim - 1
-    block = _decim_block_for(n)
+    block = None if _FORCE_PADDED_DECIM else _decim_block_for(n)
     if block is not None:
         H = _decim_gemm_matrix(numtaps, block)
         nb = n // block
@@ -271,7 +276,8 @@ def cqt(y: jnp.ndarray, cfg: CQTConfig = CQTConfig()) -> jnp.ndarray:
         n_cur = cur.shape[-1]
         hb = K // 4  # chunk width of the strided-view framing below
         if (
-            n_shift <= 2
+            not _FORCE_GENERAL_FRAMING
+            and n_shift <= 2
             and hb >= 16
             and K % 4 == 0
             and hop % hb == 0

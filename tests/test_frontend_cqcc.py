@@ -196,3 +196,29 @@ def test_cqcc_direct_definition_bound():
     # structure, not just magnitude: near-perfect correlation
     c = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert c > 0.9999, c
+
+
+def test_fast_paths_match_general_paths(rng):
+    """The strided-view framing and pad-free decimation (fast paths) must be
+    numerically interchangeable with the general padded paths they shortcut."""
+    from audioanalysisdetector_tpu.frontend import cqt as cqt_mod
+
+    cases = [
+        (16000, 32000),   # flagship: fast framing at octaves 0-2, fast decim
+        (16000, 8000),    # short signal
+        (22050, 22050),   # auto-padded length, different block divisors
+        (8000, 16128),    # odd-ish length (divisible by 2**6 after pad)
+    ]
+    for sr, n in cases:
+        cfg = CQTConfig.for_sr(sr)
+        y = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32) * 0.1)
+        fast = np.asarray(cqt(y, cfg))
+        try:
+            cqt_mod._FORCE_GENERAL_FRAMING = True
+            cqt_mod._FORCE_PADDED_DECIM = True
+            ref = np.asarray(cqt(y, cfg))
+        finally:
+            cqt_mod._FORCE_GENERAL_FRAMING = False
+            cqt_mod._FORCE_PADDED_DECIM = False
+        scale = np.abs(ref).max()
+        assert np.abs(fast - ref).max() / scale < 1e-4, (sr, n)
