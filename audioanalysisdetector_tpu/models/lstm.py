@@ -14,7 +14,12 @@ HBM and the scan then re-reads it step by step — 2 x 4H floats of traffic
 per input element, vs I floats (I = 19..256 here, 4H = 512) to stream ``x``
 directly. Measured on the target runtime at batch 4096 (2-layer BiLSTM
 stack, T=63, H=128): hoisted 11.1 ms, in-cell 6.4 ms, bit-identical
-outputs. ``lax.scan`` unroll > 1 was measured slower (7.0-7.7 ms).
+outputs. ``lax.scan`` unroll > 1 was measured slower (7.0-7.7 ms), and a
+merged both-directions-in-one-scan variant was slower too (7.1 ms) — XLA
+already overlaps the two independent direction scans. The backward
+direction uses ``lax.scan(reverse=True)`` instead of flip-scan-flip,
+removing four full-sequence flip copies per stack (6.2 -> 5.4 ms,
+bit-identical).
 """
 
 from __future__ import annotations
@@ -68,8 +73,11 @@ class LSTMLayer(nn.Module):
         b_ih = self.param("b_ih", init, (4 * H,))
         b_hh = self.param("b_hh", init, (4 * H,))
 
-        if self.reverse:
-            x = jnp.flip(x, axis=1) if lengths is None else _reverse_padded(x, lengths)
+        # full-length reversal is done by the scan itself (reverse=True) —
+        # no flip copies; ragged rows still need the length-aware gather
+        ragged_reverse = self.reverse and lengths is not None
+        if ragged_reverse:
+            x = _reverse_padded(x, lengths)
 
         bias = b_ih + b_hh
 
@@ -90,10 +98,15 @@ class LSTMLayer(nn.Module):
 
         B = x.shape[0]
         h0 = jnp.zeros((B, H), dtype=x.dtype)
-        (_, _), hs = jax.lax.scan(cell, (h0, h0), jnp.swapaxes(x, 0, 1))
+        (_, _), hs = jax.lax.scan(
+            cell,
+            (h0, h0),
+            jnp.swapaxes(x, 0, 1),
+            reverse=self.reverse and not ragged_reverse,
+        )
         out = jnp.swapaxes(hs, 0, 1)  # (B, T, H)
-        if self.reverse:
-            out = jnp.flip(out, axis=1) if lengths is None else _reverse_padded(out, lengths)
+        if ragged_reverse:
+            out = _reverse_padded(out, lengths)
         return out
 
 
