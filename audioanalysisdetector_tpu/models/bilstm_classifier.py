@@ -37,11 +37,14 @@ class BiLSTMClassifier(nn.Module):
     ) -> jnp.ndarray:
         h = BiLSTM(self.hidden, name="bilstm1")(x, lengths)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = BiLSTM(self.hidden, name="bilstm2")(h, lengths)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if lengths is None:
-            last = h[:, -1, :]
+            # fixed-length readout uses only position T-1: the second BiLSTM
+            # computes just that position (fwd carry-only scan + one bwd cell
+            # step) instead of materializing its (B, T, 2H) output
+            last = BiLSTM(self.hidden, name="bilstm2")(h, last_only=True)
         else:
+            h = BiLSTM(self.hidden, name="bilstm2")(h, lengths)
             idx = jnp.clip(lengths - 1, 0, h.shape[1] - 1)
             last = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0, :]
+        last = nn.Dropout(self.dropout, deterministic=not train)(last)
         return nn.Dense(self.num_classes, name="fc")(last)

@@ -61,7 +61,11 @@ class LSTMLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, lengths: jnp.ndarray | None = None
+        self,
+        x: jnp.ndarray,
+        lengths: jnp.ndarray | None = None,
+        *,
+        last_only: bool = False,
     ) -> jnp.ndarray:
         H = self.hidden
         I = x.shape[-1]
@@ -98,6 +102,21 @@ class LSTMLayer(nn.Module):
 
         B = x.shape[0]
         h0 = jnp.zeros((B, H), dtype=x.dtype)
+
+        if last_only and lengths is None:
+            # position T-1 of the output only (the classifiers' readout).
+            # Backward direction: its value at T-1 IS its first step from the
+            # zero state (h0 @ W_hh == 0, dropped), one cell evaluation.
+            # Forward direction: carry-only scan — the (B, T, H) output
+            # sequence is never materialized.
+            if self.reverse:
+                (h_last, _), _ = cell((h0, h0), x[:, -1])
+                return h_last
+            def carry_cell(carry, x_t):
+                return cell(carry, x_t)[0], None
+            (h_last, _), _ = jax.lax.scan(carry_cell, (h0, h0), jnp.swapaxes(x, 0, 1))
+            return h_last
+
         (_, _), hs = jax.lax.scan(
             cell,
             (h0, h0),
@@ -122,8 +141,20 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, lengths: jnp.ndarray | None = None
+        self,
+        x: jnp.ndarray,
+        lengths: jnp.ndarray | None = None,
+        *,
+        last_only: bool = False,
     ) -> jnp.ndarray:
-        fwd = LSTMLayer(self.hidden, reverse=False, name="fwd")(x)
-        bwd = LSTMLayer(self.hidden, reverse=True, name="bwd")(x, lengths)
+        """Full output ``(B, T, 2H)``; with ``last_only`` (fixed-length
+        batches only) just position T-1, ``(B, 2H)``, computed without
+        materializing either direction's sequence."""
+        last_only = last_only and lengths is None
+        fwd = LSTMLayer(self.hidden, reverse=False, name="fwd")(
+            x, last_only=last_only
+        )
+        bwd = LSTMLayer(self.hidden, reverse=True, name="bwd")(
+            x, lengths, last_only=last_only
+        )
         return jnp.concatenate([fwd, bwd], axis=-1)
