@@ -21,11 +21,14 @@ import os
 from contextlib import redirect_stdout
 
 # frozen recipe — change ONLY with a version bump, or round-over-round
-# numbers stop being comparable
+# numbers stop being comparable.
+# v2: eval set enlarged 30 -> 120 files (training unchanged) — v1's 15
+# bonafide eval files quantized EER to steps of 1/15, so a single
+# borderline utterance flipping dominated the round-over-round signal
 RECIPE = dict(
-    version=1,
+    version=2,
     train=dict(n_bonafide=39, n_spoof_per_tier=13, seconds=4.5, seed=0),
-    eval=dict(n_bonafide=15, n_spoof_per_tier=5, seconds=4.5, seed=1),
+    eval=dict(n_bonafide=60, n_spoof_per_tier=20, seconds=4.5, seed=1),
     epochs=60, hidden=64, gmm_components=32, batch_size=16, lr=3e-4,
 )
 
