@@ -57,12 +57,12 @@ def test_corpus_layout_and_ingestion(tmp_path):
 def test_surrogate_quality_recipe_learns(tmp_path):
     """The frozen QUALITY recipe must keep beating chance by a wide margin —
     the round-over-round EER trend line (round-1 review Missing #2).
-    Round-2 reference values (CPU, deterministic): bilstm EER 0.167,
-    fused EER 0.233 (vs the real-data reference 0.2565)."""
+    Recipe-v2 reference values (CPU, deterministic, 240-chunk eval):
+    bilstm EER 0.250, fused EER 0.275 (vs the real-data reference 0.2565)."""
     from audioanalysisdetector_tpu.train.quality import run_surrogate_quality
 
     metrics = run_surrogate_quality(str(tmp_path))
-    assert metrics["n_train"] == 156 and metrics["n_eval"] == 60
+    assert metrics["n_train"] == 156 and metrics["n_eval"] == 240
     assert metrics["bilstm"]["eer"] <= 0.35, metrics["bilstm"]
     assert metrics["fused"]["eer"] <= 0.35, metrics["fused"]
     assert metrics["fused"]["accuracy"] >= 0.6, metrics["fused"]
