@@ -10,7 +10,7 @@ Subcommands map onto BASELINE.json's five runnable configs:
   train-fused    GMM(+)BiLSTM flagship system: CQCC -> BiLSTM + GMM-UBM -> fused EER
   gridsearch     classical SVM/XGB sweep over expanded scalar features
 
-All paths accept a directory of WAVs or a glob. Everything is CPU-runnable
+All paths accept a directory of WAV/FLAC files or a glob. Everything is CPU-runnable
 (slow) and TPU-native (fast) with the same code.
 """
 
@@ -26,9 +26,63 @@ import numpy as np
 
 
 def _collect_wavs(path: str) -> list[str]:
+    """All WAV/FLAC files under a directory, or a glob's matches."""
     if os.path.isdir(path):
-        return sorted(globlib.glob(os.path.join(path, "**", "*.wav"), recursive=True))
+        return sorted(
+            globlib.glob(os.path.join(path, "**", "*.wav"), recursive=True)
+            + globlib.glob(os.path.join(path, "**", "*.flac"), recursive=True)
+        )
     return sorted(globlib.glob(path))
+
+
+def _stream_score_batches(paths, seconds, sr, batch_size):
+    """Yield (kept_paths, (batch_size, n) float32) decode batches.
+
+    Production streaming shape: the native threaded decoder (io/native_loader,
+    WAV + in-repo FLAC) fills each batch on a PRODUCER thread so decode
+    overlaps the consumer's device compute; unreadable rows are dropped with
+    a warning (the reference's failure->skip policy); the tail batch is
+    padded to the fixed batch size so the scorer compiles exactly once.
+    """
+    import queue
+    import threading
+
+    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
+
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def producer():
+        for i in range(0, len(paths), batch_size):
+            chunk = paths[i : i + batch_size]
+            out, ok = load_chunk_batch_native(
+                chunk,
+                [0.0] * len(chunk),
+                [float(seconds)] * len(chunk),
+                sr=sr,
+                return_ok=True,
+            )
+            for p, good in zip(chunk, ok):
+                if not good:
+                    print(f"WARNING: cannot read {p}: skipped", file=sys.stderr)
+            kept = [p for p, good in zip(chunk, ok) if good]
+            out = out[ok]
+            if len(kept) == 0:
+                continue
+            if out.shape[0] < batch_size:  # pad tail; extra rows are ignored
+                out = np.concatenate(
+                    [out, np.repeat(out[-1:], batch_size - out.shape[0], axis=0)]
+                )
+            q.put((kept, out))
+        q.put(None)
+
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        yield item
+    th.join()
 
 
 def _load_batch(paths: list[str], seconds: float, sr: int) -> tuple[list[str], np.ndarray]:
@@ -78,7 +132,6 @@ def cmd_score(args) -> int:
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
-    paths, wav = _load_batch(paths, args.seconds, args.sr)
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
     model = CNNBiLSTMHybrid()
     t_frames = 1 + int(args.seconds * args.sr) // mel_cfg.hop_length
@@ -93,9 +146,22 @@ def cmd_score(args) -> int:
             "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
         }
     scorer = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
-    scores = np.asarray(scorer(jnp.asarray(wav)))
-    for p, s in zip(paths, scores):
-        print(json.dumps({"file": p, "spoof_score": float(s), "label": int(s > 0.5)}))
+    # streaming: decode on a producer thread (native loader), score fixed
+    # batches on device, fetch all score vectors at the end so uploads and
+    # compute overlap without per-batch host sync
+    pending: list[tuple[list[str], object]] = []
+    for kept, batch_np in _stream_score_batches(
+        paths, args.seconds, args.sr, args.batch_size
+    ):
+        pending.append((kept, scorer(jnp.asarray(batch_np))))
+    for kept, dev_scores in pending:
+        scores = np.asarray(dev_scores)[: len(kept)]
+        for p, s in zip(kept, scores):
+            print(
+                json.dumps(
+                    {"file": p, "spoof_score": float(s), "label": int(s > 0.5)}
+                )
+            )
     return 0
 
 
@@ -422,6 +488,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("score", help="log-mel + CNN-BiLSTM spoof scoring")
     common(sp)
     sp.add_argument("--n-mels", type=int, default=64)
+    sp.add_argument(
+        "--batch-size", type=int, default=512,
+        help="streaming batch size (fixed shape -> one compile; decode of "
+        "batch k+1 overlaps device scoring of batch k)",
+    )
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument(
         "--allow-random", action="store_true",

@@ -37,6 +37,27 @@ def test_cli_score(corpus, capsys):
     assert all(0.0 <= l["spoof_score"] <= 1.0 for l in lines)
 
 
+def test_cli_score_streams_mixed_corpus(corpus, capsys):
+    """Streaming path: FLAC + WAV mixed, batch smaller than the corpus (a
+    ragged tail batch gets padded), unreadable files skipped with a warning."""
+    from audioanalysisdetector_tpu.io.flac import write_flac
+
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        x = np.round(
+            np.clip(rng.standard_normal(32000) * 0.05, -0.999, 0.999) * 32767
+        ).astype(np.int64)
+        write_flac(os.path.join(corpus, f"extra_{i}.flac"), x, 16000)
+    with open(os.path.join(corpus, "broken.wav"), "wb") as f:
+        f.write(b"not audio")
+    assert main(["score", corpus, "--allow-random", "--batch-size", "4"]) == 0
+    captured = capsys.readouterr()
+    lines = [json.loads(l) for l in captured.out.strip().splitlines()]
+    assert len(lines) == 15  # 12 wav + 3 flac; broken dropped
+    assert any(l["file"].endswith(".flac") for l in lines)
+    assert "broken.wav" in captured.err
+
+
 def test_cli_extract(corpus, tmp_path, capsys):
     out = str(tmp_path / "feats.npz")
     assert main(["extract", corpus, "--feature", "cqcc", "--output", out]) == 0
