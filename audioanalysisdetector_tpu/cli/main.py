@@ -174,13 +174,20 @@ def cmd_extract(args) -> int:
     if not paths:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
-    paths, wav = _load_batch(paths, args.seconds, args.sr)
     registry = default_extractors(args.sr)
     if args.feature not in registry:
         print(f"unknown feature {args.feature}; options: {sorted(registry)}", file=sys.stderr)
         return 1
-    feats = np.asarray(registry[args.feature](jnp.asarray(wav)))
-    np.savez(args.output, features=feats, files=np.asarray(paths))
+    # streaming batches like `score`: threaded decode overlaps device compute
+    kept_all: list[str] = []
+    parts: list[tuple[int, object]] = []
+    for kept, batch_np in _stream_score_batches(
+        paths, args.seconds, args.sr, args.batch_size
+    ):
+        kept_all.extend(kept)
+        parts.append((len(kept), registry[args.feature](jnp.asarray(batch_np))))
+    feats = np.concatenate([np.asarray(f)[:n] for n, f in parts])
+    np.savez(args.output, features=feats, files=np.asarray(kept_all))
     print(f"wrote {feats.shape} {args.feature} features to {args.output}")
     return 0
 
@@ -504,6 +511,7 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--feature", default="cqcc")
     sp.add_argument("--output", default="features.npz")
+    sp.add_argument("--batch-size", type=int, default=512)
     sp.set_defaults(fn=cmd_extract)
 
     sp = sub.add_parser("augment", help="on-device augmentation demo")
