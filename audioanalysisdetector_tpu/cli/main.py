@@ -52,28 +52,34 @@ def _stream_score_batches(paths, seconds, sr, batch_size):
     q: queue.Queue = queue.Queue(maxsize=2)
 
     def producer():
-        for i in range(0, len(paths), batch_size):
-            chunk = paths[i : i + batch_size]
-            out, ok = load_chunk_batch_native(
-                chunk,
-                [0.0] * len(chunk),
-                [float(seconds)] * len(chunk),
-                sr=sr,
-                return_ok=True,
-            )
-            for p, good in zip(chunk, ok):
-                if not good:
-                    print(f"WARNING: cannot read {p}: skipped", file=sys.stderr)
-            kept = [p for p, good in zip(chunk, ok) if good]
-            out = out[ok]
-            if len(kept) == 0:
-                continue
-            if out.shape[0] < batch_size:  # pad tail; extra rows are ignored
-                out = np.concatenate(
-                    [out, np.repeat(out[-1:], batch_size - out.shape[0], axis=0)]
+        # any failure MUST still unblock the consumer: the sentinel goes out
+        # via finally, and an exception is forwarded through the queue
+        try:
+            for i in range(0, len(paths), batch_size):
+                chunk = paths[i : i + batch_size]
+                out, ok = load_chunk_batch_native(
+                    chunk,
+                    [0.0] * len(chunk),
+                    [float(seconds)] * len(chunk),
+                    sr=sr,
+                    return_ok=True,
                 )
-            q.put((kept, out))
-        q.put(None)
+                for p, good in zip(chunk, ok):
+                    if not good:
+                        print(f"WARNING: cannot read {p}: skipped", file=sys.stderr)
+                kept = [p for p, good in zip(chunk, ok) if good]
+                out = out[ok]
+                if len(kept) == 0:
+                    continue
+                if out.shape[0] < batch_size:  # pad tail; extra rows are ignored
+                    out = np.concatenate(
+                        [out, np.repeat(out[-1:], batch_size - out.shape[0], axis=0)]
+                    )
+                q.put((kept, out))
+        except BaseException as e:  # noqa: BLE001 — forwarded to the consumer
+            q.put(e)
+        finally:
+            q.put(None)
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
@@ -81,6 +87,9 @@ def _stream_score_batches(paths, seconds, sr, batch_size):
         item = q.get()
         if item is None:
             break
+        if isinstance(item, BaseException):
+            th.join()
+            raise item
         yield item
     th.join()
 
@@ -89,26 +98,23 @@ def _load_batch(paths: list[str], seconds: float, sr: int) -> tuple[list[str], n
     """Decode fixed-length clips; unreadable files are dropped with a warning.
 
     Returns (kept_paths, (B, n) float32) so labels stay aligned with rows.
+    Uses the threaded native decoder (WAV + in-repo FLAC, Python fallback
+    per row) — the same failure->skip policy as the streaming scorer.
     """
-    import wave
+    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
 
-    from audioanalysisdetector_tpu.io.audio import load_audio
-
-    n = int(seconds * sr)
-    kept, rows = [], []
-    for p in paths:
-        try:
-            y, _ = load_audio(p, sr=sr)
-        except (RuntimeError, OSError, EOFError, ValueError, wave.Error) as e:
-            print(f"WARNING: cannot read {p}: {e}", file=sys.stderr)
-            continue
-        row = np.zeros(n, dtype=np.float32)
-        row[: min(len(y), n)] = y[:n]
-        kept.append(p)
-        rows.append(row)
-    if not rows:
-        return [], np.zeros((0, n), dtype=np.float32)
-    return kept, np.stack(rows)
+    out, ok = load_chunk_batch_native(
+        paths,
+        [0.0] * len(paths),
+        [float(seconds)] * len(paths),
+        sr=sr,
+        return_ok=True,
+    )
+    for p, good in zip(paths, ok):
+        if not good:
+            print(f"WARNING: cannot read {p}: skipped", file=sys.stderr)
+    kept = [p for p, good in zip(paths, ok) if good]
+    return kept, out[ok]
 
 
 def cmd_score(args) -> int:
@@ -178,15 +184,23 @@ def cmd_extract(args) -> int:
     if args.feature not in registry:
         print(f"unknown feature {args.feature}; options: {sorted(registry)}", file=sys.stderr)
         return 1
-    # streaming batches like `score`: threaded decode overlaps device compute
+    # streaming batches like `score`: threaded decode overlaps device
+    # compute. Feature tensors are large (unlike score's (B,) vectors), so
+    # only a 2-batch window stays device-resident — older batches are
+    # fetched to host as new ones dispatch, keeping HBM use constant
     kept_all: list[str] = []
-    parts: list[tuple[int, object]] = []
+    host_parts: list[np.ndarray] = []
+    window: list[tuple[int, object]] = []
     for kept, batch_np in _stream_score_batches(
         paths, args.seconds, args.sr, args.batch_size
     ):
         kept_all.extend(kept)
-        parts.append((len(kept), registry[args.feature](jnp.asarray(batch_np))))
-    feats = np.concatenate([np.asarray(f)[:n] for n, f in parts])
+        window.append((len(kept), registry[args.feature](jnp.asarray(batch_np))))
+        if len(window) > 2:
+            n, f = window.pop(0)
+            host_parts.append(np.asarray(f)[:n])
+    host_parts.extend(np.asarray(f)[:n] for n, f in window)
+    feats = np.concatenate(host_parts)
     np.savez(args.output, features=feats, files=np.asarray(kept_all))
     print(f"wrote {feats.shape} {args.feature} features to {args.output}")
     return 0

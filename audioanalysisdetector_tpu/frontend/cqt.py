@@ -94,8 +94,8 @@ def _octave_kernel_bank(cfg: CQTConfig, octave: int) -> tuple[np.ndarray, int]:
     ``sr / 2**j``.
     """
     b = cfg.bins_per_octave
-    n_oct = cfg.n_octaves
-    # bins for this octave (top octave may be partial if n_bins % B != 0)
+    # bins for this octave (the DEEPEST octave holds the remainder when
+    # n_bins % B != 0: hi-lo clamps at the bottom of the bin range)
     hi = cfg.n_bins - octave * b
     lo = max(hi - b, 0)
     freqs = cqt_frequencies(cfg.n_bins, cfg.fmin, b)[lo:hi]
@@ -116,7 +116,6 @@ def _octave_kernel_bank(cfg: CQTConfig, octave: int) -> tuple[np.ndarray, int]:
         re[i, start : start + n_k] = amp * np.cos(phase)
         im[i, start : start + n_k] = -amp * np.sin(phase)
     kernels = np.concatenate([re, im], axis=0)[:, None, :].astype(np.float32)
-    del n_oct
     return kernels, K
 
 

@@ -103,7 +103,12 @@ class LSTMLayer(nn.Module):
         B = x.shape[0]
         h0 = jnp.zeros((B, H), dtype=x.dtype)
 
-        if last_only and lengths is None:
+        if last_only and lengths is not None:
+            raise ValueError(
+                "last_only only supports fixed-length batches; ragged rows "
+                "need the full sequence + a length-indexed gather"
+            )
+        if last_only:
             # position T-1 of the output only (the classifiers' readout).
             # Backward direction: its value at T-1 IS its first step from the
             # zero state (h0 @ W_hh == 0, dropped), one cell evaluation.
@@ -150,7 +155,11 @@ class BiLSTM(nn.Module):
         """Full output ``(B, T, 2H)``; with ``last_only`` (fixed-length
         batches only) just position T-1, ``(B, 2H)``, computed without
         materializing either direction's sequence."""
-        last_only = last_only and lengths is None
+        if last_only and lengths is not None:
+            raise ValueError(
+                "last_only only supports fixed-length batches; ragged rows "
+                "need the full sequence + a length-indexed gather"
+            )
         fwd = LSTMLayer(self.hidden, reverse=False, name="fwd")(
             x, last_only=last_only
         )

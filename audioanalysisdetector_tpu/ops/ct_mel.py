@@ -95,14 +95,19 @@ def _ct_operands(cfg: MelConfig):
     # stage C merged complex operand: [br|bi] (.,128) @ Wc -> [xr|xi]
     wc = np.block([[c64, s64], [-s64, c64]])  # (128, 128)
 
-    # mel weights on rfft bins 0..1024, folded onto all 2048 CT bins
-    # (|X[k]| == |X[2048-k]| for real input), laid out per bin k = k2+32*k1
-    # as M3[k2, k1, b], then DUPLICATED over the [xr|xi] halves so the
-    # power contraction consumes the packed squares without lane slicing
+    # mel weights live on rfft bins 0..1024 only (librosa counts each
+    # conjugate-symmetric pair ONCE); the CT grid produces all 2048 bins, so
+    # the spectral weight is split evenly across each symmetric pair
+    # (w/2 at k and w/2 at 2048-k; |X[k]| == |X[2048-k]| for real input —
+    # assigning full weight to both sides double-counts bins 1..1023).
+    # Laid out per bin k = k2 + 32*k1 as M3[k2, k1, b], then DUPLICATED over
+    # the [xr|xi] halves so the power contraction consumes the packed
+    # squares without lane slicing.
     mel = cfg.filterbank().astype(np.float64)  # (n_mels, 1025)
     m2048 = np.zeros((n_fft, mel.shape[0]))
     m2048[: n_fft // 2 + 1] = mel.T
-    m2048[n_fft // 2 + 1 :] = mel.T[1 : n_fft // 2][::-1]
+    m2048[1 : n_fft // 2] *= 0.5
+    m2048[n_fft // 2 + 1 :] = m2048[1 : n_fft // 2][::-1]
     k2 = np.arange(N2)[:, None]
     k1 = np.arange(N1)[None, :]
     m3 = m2048[k2 + N2 * k1]  # (32, 64, n_mels)

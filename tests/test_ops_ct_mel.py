@@ -23,6 +23,17 @@ def test_ct_log_mel_matches_xla_path(rng):
     assert np.abs(out - ref).max() < 1e-4
 
 
+def test_ct_log_mel_matches_under_numeric_ref(rng):
+    """A fixed (non-max) dB reference exposes any absolute-power mismatch:
+    the conjugate-symmetric fold must split each pair's mel weight, not
+    double-count it (a uniform 2x would cancel under ref='max')."""
+    cfg = MelConfig(sr=16000, n_mels=64)
+    wav = jnp.asarray(rng.standard_normal((UTT_TILE, 32000)).astype(np.float32) * 0.1)
+    ref = np.asarray(log_mel_spectrogram(wav, cfg, ref=1.0))
+    out = np.asarray(ct_log_mel(wav, cfg, ref=1.0, interpret=True))
+    assert np.abs(out - ref).max() < 1e-3
+
+
 def test_ct_log_mel_silence_finite(rng):
     cfg = MelConfig(sr=16000, n_mels=64)
     out = np.asarray(ct_log_mel(jnp.zeros((UTT_TILE, 32000)), cfg, interpret=True))
