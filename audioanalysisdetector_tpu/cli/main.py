@@ -8,7 +8,11 @@ Subcommands map onto BASELINE.json's five runnable configs:
   train       #4 CNN-BiLSTM training run (data-parallel over local devices)
   xai         #5 saliency + Grad-CAM heatmap PNGs for a WAV
   train-fused    GMM(+)BiLSTM flagship system: CQCC -> BiLSTM + GMM-UBM -> fused EER
+  train-asvspoof metadata-driven flagship recipe on an ASVspoof-layout corpus
+  train-3features  shared-trunk (cqcc,gtcc,mfcc) fusion net (notebook cells 32-33)
+  train-mfca     MobileNetV2+MFCA on log-mel (notebook cells 29-31)
   gridsearch     classical SVM/XGB sweep over expanded scalar features
+  classical      metadata-driven classical pipeline (6 features incl. formants)
 
 All paths accept a directory of WAV/FLAC files or a glob. Everything is CPU-runnable
 (slow) and TPU-native (fast) with the same code.
@@ -50,12 +54,27 @@ def _stream_score_batches(paths, seconds, sr, batch_size):
     from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
 
     q: queue.Queue = queue.Queue(maxsize=2)
+    cancel = threading.Event()  # set by the consumer's finally: stop producing
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a dead
+        consumer must never leave the producer parked on a full queue
+        (round-2 review Weak #5)."""
+        while not cancel.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         # any failure MUST still unblock the consumer: the sentinel goes out
         # via finally, and an exception is forwarded through the queue
         try:
             for i in range(0, len(paths), batch_size):
+                if cancel.is_set():
+                    return
                 chunk = paths[i : i + batch_size]
                 out, ok = load_chunk_batch_native(
                     chunk,
@@ -75,23 +94,33 @@ def _stream_score_batches(paths, seconds, sr, batch_size):
                     out = np.concatenate(
                         [out, np.repeat(out[-1:], batch_size - out.shape[0], axis=0)]
                     )
-                q.put((kept, out))
+                if not _put((kept, out)):
+                    return
         except BaseException as e:  # noqa: BLE001 — forwarded to the consumer
-            q.put(e)
+            _put(e)
         finally:
-            q.put(None)
+            _put(None)
 
     th = threading.Thread(target=producer, daemon=True)
     th.start()
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        if isinstance(item, BaseException):
-            th.join()
-            raise item
-        yield item
-    th.join()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # runs on normal exhaustion, consumer exceptions, AND abandoned
+        # generators (GeneratorExit): wake any blocked put, drain, reap
+        cancel.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        th.join(timeout=10.0)
 
 
 def _load_batch(paths: list[str], seconds: float, sr: int) -> tuple[list[str], np.ndarray]:
@@ -200,6 +229,9 @@ def cmd_extract(args) -> int:
             n, f = window.pop(0)
             host_parts.append(np.asarray(f)[:n])
     host_parts.extend(np.asarray(f)[:n] for n, f in window)
+    if not host_parts:
+        print("no decodable audio files — nothing extracted", file=sys.stderr)
+        return 1
     feats = np.concatenate(host_parts)
     np.savez(args.output, features=feats, files=np.asarray(kept_all))
     print(f"wrote {feats.shape} {args.feature} features to {args.output}")
@@ -361,12 +393,61 @@ def cmd_xai(args) -> int:
     return 0
 
 
+def _eval_fused_system(
+    best_state, g_gen, g_spoof, tr, y_tr, te, y_te, *,
+    batch_size: int, weight: float = 0.5, calibrate: bool = False,
+):
+    """Shared fused-system evaluation: per-arm diagnostics + fused metrics.
+
+    Returns (gmm_metrics, fused_metrics, calibration) where ``gmm_metrics``
+    is the GMM arm alone (LLR-ranking EER — if this is ~0.5 the arm
+    contributes noise and fusion CANNOT help; see round-2 regression) and
+    ``calibration`` is the (scale, bias) used (1, 0 unless ``calibrate``).
+    """
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.score import (
+        eval_fused,
+        fit_llr_calibration,
+        make_arm_scorer,
+        make_fused_scorer,
+    )
+    from audioanalysisdetector_tpu.train import metrics as M
+
+    apply_fn, variables = best_state.apply_fn, {"params": best_state.params}
+    arms = make_arm_scorer(apply_fn, variables, g_gen, g_spoof)
+
+    def run_arms(x):
+        ps, ls = [], []
+        for s in range(0, len(x), batch_size):
+            xb = x[s : s + batch_size]
+            nb = len(xb)
+            if nb < batch_size:
+                xb = np.concatenate([xb, np.repeat(xb[-1:], batch_size - nb, axis=0)])
+            p, l, _ = arms(jnp.asarray(xb))
+            ps.append(np.asarray(p)[:nb])
+            ls.append(np.asarray(l)[:nb])
+        return np.concatenate(ps), np.concatenate(ls)
+
+    scale, bias = 1.0, 0.0
+    if calibrate:
+        _, llr_tr = run_arms(tr)
+        scale, bias = fit_llr_calibration(llr_tr, y_tr)
+    _, llr_te = run_arms(te)
+    gmm_metrics = {"eer": M.eer(y_te, llr_te)}
+    scorer = make_fused_scorer(
+        apply_fn, variables, g_gen, g_spoof,
+        weight=weight, llr_scale=scale, llr_bias=bias,
+    )
+    _, _, fused_metrics = eval_fused(scorer, te, y_te, batch_size=batch_size)
+    return gmm_metrics, fused_metrics, (scale, bias)
+
+
 def cmd_train_fused(args) -> int:
     import jax.numpy as jnp
 
     from audioanalysisdetector_tpu.frontend.cqcc import CQCCConfig, cqcc, transpose_cqcc
     from audioanalysisdetector_tpu.data.scaler import prepare_train_test_data
-    from audioanalysisdetector_tpu.score import eval_fused, make_fused_scorer
     from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
     from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
 
@@ -390,12 +471,16 @@ def cmd_train_fused(args) -> int:
     )
     _, g_gen, g_spoof = train_gmm_system(
         tr, y[:split], n_components=args.gmm_components, model_dir=args.run_dir,
+        adapt_mode=args.map_adapt,
     )
-    scorer = make_fused_scorer(
-        result.best_state.apply_fn, {"params": result.best_state.params}, g_gen, g_spoof
+    gmm_metrics, fused_metrics, _ = _eval_fused_system(
+        result.best_state, g_gen, g_spoof, tr, y[:split], te, y[split:],
+        batch_size=args.batch_size, weight=args.fusion_weight,
+        calibrate=args.calibrate_llr,
     )
-    _, _, fused_metrics = eval_fused(scorer, te, y[split:], batch_size=args.batch_size)
-    print(json.dumps({"bilstm": bilstm_metrics, "fused": fused_metrics}))
+    print(json.dumps({
+        "bilstm": bilstm_metrics, "gmm": gmm_metrics, "fused": fused_metrics,
+    }))
     return 0
 
 
@@ -413,7 +498,6 @@ def cmd_train_asvspoof(args) -> int:
     )
     from audioanalysisdetector_tpu.data.scaler import prepare_train_test_data
     from audioanalysisdetector_tpu.data.shape_utils import prepare_data_gmm_bilstm
-    from audioanalysisdetector_tpu.score import eval_fused, make_fused_scorer
     from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
     from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
 
@@ -447,15 +531,115 @@ def cmd_train_asvspoof(args) -> int:
     )
     _, g_gen, g_spoof = train_gmm_system(
         tr, y_tr, n_components=args.gmm_components, model_dir=args.run_dir,
+        adapt_mode=args.map_adapt,
     )
-    scorer = make_fused_scorer(
-        result.best_state.apply_fn, {"params": result.best_state.params}, g_gen, g_spoof
+    gmm_metrics, fused_metrics, calibration = _eval_fused_system(
+        result.best_state, g_gen, g_spoof, tr, y_tr, te, y_te,
+        batch_size=args.batch_size, weight=args.fusion_weight,
+        calibrate=args.calibrate_llr,
     )
-    _, _, fused_metrics = eval_fused(scorer, te, y_te, batch_size=args.batch_size)
     print(json.dumps({
-        "bilstm": bilstm_metrics, "fused": fused_metrics,
+        "bilstm": bilstm_metrics, "gmm": gmm_metrics, "fused": fused_metrics,
         "n_train": int(len(y_tr)), "n_eval": int(len(y_te)),
+        "calibration": {"scale": calibration[0], "bias": calibration[1]},
     }))
+    return 0
+
+
+def cmd_train_3features(args) -> int:
+    """Shared-trunk 3-feature fusion net (cqcc, gtcc, mfcc) — the notebook's
+    ``train_loop_3features`` recipe (ASV_deep_learning.ipynb cells 32-33)."""
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend import (
+        CepstralConfig, CQCCConfig, MFCCConfig, cqcc, gfcc, mfcc,
+    )
+    from audioanalysisdetector_tpu.train.sweep import train_3features
+
+    paths = _collect_wavs(args.audio)
+    if len(paths) < 8:
+        print("need at least 8 labeled WAVs", file=sys.stderr)
+        return 1
+    paths = _shuffle(paths, args.seed)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
+    y = _labels_from_dirnames(paths)
+    w = jnp.asarray(wav)
+    feats = (
+        np.asarray(cqcc(w, CQCCConfig.for_sr(args.sr))),
+        np.asarray(gfcc(w, CepstralConfig(fs=args.sr, nfilts=40, fb_kind="gammatone"))),
+        np.asarray(mfcc(w, MFCCConfig.for_sr(args.sr))),
+    )
+    split = max(int(len(paths) * 0.8), 2)
+    out = train_3features(
+        tuple(f[:split] for f in feats), y[:split],
+        tuple(f[split:] for f in feats), y[split:],
+        epochs=args.epochs, lr=args.lr, batch_size=args.batch_size,
+        out_dir=args.run_dir, seed=args.seed,
+    )
+    print(json.dumps(out["best"]))
+    return 0
+
+
+def cmd_train_mfca(args) -> int:
+    """MobileNetV2+MFCA on log-mel spectrograms — the notebook's
+    ``train_loop_mfca`` recipe (ASV_deep_learning.ipynb cells 29-31)."""
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig, log_mel_spectrogram
+    from audioanalysisdetector_tpu.train.sweep import train_mfca
+
+    paths = _collect_wavs(args.audio)
+    if len(paths) < 8:
+        print("need at least 8 labeled WAVs", file=sys.stderr)
+        return 1
+    paths = _shuffle(paths, args.seed)
+    paths, wav = _load_batch(paths, args.seconds, args.sr)
+    y = _labels_from_dirnames(paths)
+    feats = np.asarray(
+        log_mel_spectrogram(jnp.asarray(wav), MelConfig(sr=args.sr, n_mels=args.n_mels))
+    )
+    split = max(int(len(paths) * 0.8), 2)
+    out = train_mfca(
+        feats[:split], y[:split], feats[split:], y[split:],
+        epochs=args.epochs, lr=args.lr, batch_size=args.batch_size,
+        out_dir=args.run_dir, seed=args.seed,
+    )
+    print(json.dumps(out["best"]))
+    return 0
+
+
+def cmd_classical(args) -> int:
+    """Metadata-driven classical-ML end-to-end (reference/train_fun.py:305-403):
+    sample caps, 6-feature extraction incl. formants, dict expansion,
+    PCA+SVC / PCA+XGB grids with pipeline caching."""
+    from audioanalysisdetector_tpu.train.classical import classical_main
+
+    all_data = {}
+    for spec in args.dataset:
+        try:
+            key, metadata, audio_dir = spec.split(":", 2)
+        except ValueError:
+            print(f"bad --dataset spec {spec!r}; use KEY:METADATA:AUDIO_DIR",
+                  file=sys.stderr)
+            return 2
+        entry = all_data.setdefault(key, {"metadata": metadata, "flac": []})
+        entry["flac"].append(audio_dir)
+    features = tuple(f.strip() for f in args.features.split(",") if f.strip())
+    try:
+        out = classical_main(
+            all_data,
+            sr=args.sr,
+            seconds=args.seconds,
+            features=features,
+            pca_components=tuple(int(c) for c in args.components.split(",") if c.strip()),
+            extension=args.extension,
+            cache_dir=args.cache_dir,
+            seed=args.seed,
+        )
+    except ValueError as e:
+        print(f"classical: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(out))
     return 0
 
 
@@ -487,6 +671,7 @@ def cmd_gridsearch(args) -> int:
     top, full = run_extensive_gridsearch(
         expanded[:split], expanded[split:], feature_groups=groups,
         components=components, out_dir=args.output_dir,
+        cache_dir=args.cache_dir,
     )
     if full is not None:
         print(full.head(args.top_k).to_string())
@@ -557,6 +742,20 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write a self-contained explanation.html")
     sp.set_defaults(fn=cmd_xai)
 
+    def fusion_flags(sp):
+        sp.add_argument(
+            "--map-adapt", choices=("means", "full"), default="means",
+            help="MAP adaptation mode: 'means' (Reynolds-style, default) or "
+            "'full' (the reference's means+vars+weights update — can "
+            "destabilize the LLR; see train/gmm_system.py)",
+        )
+        sp.add_argument("--fusion-weight", type=float, default=0.5,
+                        help="BiLSTM weight in the fusion (reference: 0.5)")
+        sp.add_argument(
+            "--calibrate-llr", action="store_true",
+            help="Platt-calibrate sigmoid(LLR) on the train split before fusing",
+        )
+
     sp = sub.add_parser("train-fused", help="GMM(+)BiLSTM flagship system")
     common(sp)
     sp.add_argument("--epochs", type=int, default=5)
@@ -565,6 +764,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--hidden", type=int, default=128)
     sp.add_argument("--gmm-components", type=int, default=16)
     sp.add_argument("--run-dir", default="runs/GMM-BiLSTM")
+    fusion_flags(sp)
     sp.set_defaults(fn=cmd_train_fused)
 
     sp = sub.add_parser(
@@ -585,7 +785,28 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--gmm-components", type=int, default=128)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--run-dir", default="GMM-BiLSTM")
+    fusion_flags(sp)
     sp.set_defaults(fn=cmd_train_asvspoof)
+
+    sp = sub.add_parser(
+        "train-3features",
+        help="3-feature (cqcc+gtcc+mfcc) shared-trunk fusion net",
+    )
+    common(sp)
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--batch-size", type=int, default=16)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--run-dir", default="runs/MoreFeatures")
+    sp.set_defaults(fn=cmd_train_3features)
+
+    sp = sub.add_parser("train-mfca", help="MobileNetV2+MFCA on log-mel")
+    common(sp)
+    sp.add_argument("--n-mels", type=int, default=64)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--batch-size", type=int, default=32)
+    sp.add_argument("--lr", type=float, default=1e-4)
+    sp.add_argument("--run-dir", default="runs/MobileNet-MFCA")
+    sp.set_defaults(fn=cmd_train_mfca)
 
     sp = sub.add_parser("gridsearch", help="classical SVM/XGB sweep")
     common(sp)
@@ -593,13 +814,39 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--top-k", type=int, default=5)
     sp.add_argument(
         "--features", default="wpt,mfcc,lfcc",
-        help="comma list of extractors swept as feature sets (reference: 6)",
+        help="comma list of extractors swept as feature sets; 'formants' "
+        "adds the Burg-LPC prosodic dict (reference: 6 features)",
     )
     sp.add_argument(
         "--components", default="10,20,30,40",
         help="comma list of PCA/ICA component counts (the reference's space)",
     )
+    sp.add_argument(
+        "--cache-dir", default=None,
+        help="joblib.Memory dir caching fitted pipeline prefixes across the sweep",
+    )
     sp.set_defaults(fn=cmd_gridsearch)
+
+    sp = sub.add_parser(
+        "classical",
+        help="metadata-driven classical pipeline: 6 features incl. formants "
+        "-> expand -> PCA+SVC/XGB grids (reference train_fun.main)",
+    )
+    sp.add_argument(
+        "--dataset", action="append", required=True,
+        metavar="KEY:METADATA:AUDIO_DIR",
+        help="repeatable; KEY picks the sample cap (LA 5000, others 2500)",
+    )
+    sp.add_argument("--sr", type=int, default=16000)
+    sp.add_argument("--seconds", type=float, default=4.0,
+                    help="fixed analysis window (static shapes; see classical_main)")
+    sp.add_argument("--features", default=",".join(
+        ("mfcc", "lfcc", "cqcc", "gtcc", "wpt", "formants")))
+    sp.add_argument("--components", default="10,20,30,40")
+    sp.add_argument("--extension", default=".flac")
+    sp.add_argument("--cache-dir", default=None)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_classical)
 
     return p
 

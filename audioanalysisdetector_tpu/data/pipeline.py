@@ -53,7 +53,44 @@ def default_extractors(sr: int = 16000) -> dict[str, Callable]:
         # incompatible with mean=True pooling (CMVN makes time means zero) —
         # extract_features guards both.
         "mfcc_deltas": lambda w: mfcc_deltas_cmvn(w, MFCCConfig.for_sr(sr)),
+        # "formants" is also accepted by extract_features: the Burg-LPC /
+        # root-finding hybrid (frontend.formants) produces DICT cells of 10
+        # prosodic scalars for the classical path (reference/train_fun.py:340,
+        # expanded by classical.expand_feature_columns). Host-routed, not in
+        # this device-fn registry — see _extract_formants_cells.
     }
+
+
+FORMANTS_FEATURE = "formants"
+
+
+def _extract_formants_cells(
+    df: pd.DataFrame,
+    *,
+    sr: int,
+    batch_size: int,
+    path_col: str,
+) -> list[dict | None]:
+    """Per-row prosodic dicts (``analyze_formants_and_silence``); decode is
+    batched through the native loader, Burg LPC batches on device, the
+    polynomial root-finding stays on host (frontend/formants.py — this
+    feature feeds only the classical grid, never the hot path)."""
+    from audioanalysisdetector_tpu.frontend.formants import (
+        analyze_formants_and_silence,
+    )
+
+    paths = df[path_col].tolist()
+    starts = df.get("chunk_start", pd.Series([0.0] * len(df))).tolist()
+    ends = df.get("chunk_end", pd.Series([2.0] * len(df))).tolist()
+    cells: list[dict | None] = []
+    for lo in range(0, len(paths), batch_size):
+        hi = min(lo + batch_size, len(paths))
+        wav, ok = load_chunk_batch(
+            paths[lo:hi], starts[lo:hi], ends[lo:hi], sr=sr, return_ok=True
+        )
+        for row, good in zip(wav, ok):
+            cells.append(analyze_formants_and_silence(row, sr) if good else None)
+    return cells
 
 
 def _aug_codes_from(df: pd.DataFrame, aug_col: str) -> np.ndarray:
@@ -139,7 +176,10 @@ def extract_features(
     each cell an ndarray (reference/ASV_dl_func.py:1031-1049)."""
     if isinstance(feature_extractors_map, list):
         registry = default_extractors(sr)
-        feature_extractors_map = {n: registry[n] for n in feature_extractors_map}
+        feature_extractors_map = {
+            n: (FORMANTS_FEATURE if n == FORMANTS_FEATURE else registry[n])
+            for n in feature_extractors_map
+        }
     if mean and "mfcc_deltas" in feature_extractors_map:
         raise ValueError(
             "mfcc_deltas is CMVN-normalized per utterance: its time mean is "
@@ -148,6 +188,11 @@ def extract_features(
         )
     df = df.copy()
     for name, fn in feature_extractors_map.items():
+        if fn is FORMANTS_FEATURE or name == FORMANTS_FEATURE:
+            df[name] = _extract_formants_cells(
+                df, sr=sr, batch_size=batch_size, path_col=col_name
+            )
+            continue
         arr, ok = extract_feature_array(
             df, fn, sr=sr, batch_size=batch_size, path_col=col_name,
             aug_col=aug_col, mean=mean, seed=seed,

@@ -213,6 +213,11 @@ def _kmeans_init(x, k: int, seed: int, iters: int = 10) -> np.ndarray:
     return np.asarray(_lloyd(jax.device_put(sub), centers, iters=iters))
 
 
+@jax.jit
+def _floor_variances(gmm: DiagGMM, floor: jnp.ndarray) -> DiagGMM:
+    return gmm.replace(variances=jnp.maximum(gmm.variances, floor))
+
+
 def fit_em(
     x: np.ndarray,
     n_components: int = 128,
@@ -220,6 +225,7 @@ def fit_em(
     max_iter: int = 100,
     tol: float = 1e-3,
     reg_covar: float = 1e-6,
+    var_floor_rel: float = 0.0,
     seed: int = 42,
     chunk: int = 65536,
     flat_bytes: int = 2 << 30,
@@ -229,6 +235,14 @@ def fit_em(
 
     ``tol`` is on the change of mean per-frame log-likelihood, like sklearn's
     ``lower_bound_`` convergence test.
+
+    ``var_floor_rel`` > 0 floors each component's per-dim variance at
+    ``var_floor_rel * Var(x_dim)`` after every M-step. sklearn's additive
+    ``reg_covar`` (1e-6, kept) does NOT stop a component from collapsing onto
+    near-duplicate frames; a collapsed component's huge log-densities then
+    dominate every downstream LLR (observed on the surrogate corpus: LLR std
+    138 and sign inversion in one TPU fit). 0.0 preserves exact sklearn
+    semantics; the GMM-UBM system passes 1e-3.
 
     When the responsibility matrix fits in ``flat_bytes`` of HBM
     (``N * n_components * 4``), iterations run unchunked (``_em_step_flat``,
@@ -254,6 +268,11 @@ def fit_em(
         means=jnp.asarray(centers, jnp.float32),
         variances=jnp.asarray(var0),
     )
+    floor = (
+        jnp.asarray(var_floor_rel * var_host + reg_covar, jnp.float32)
+        if var_floor_rel > 0
+        else None
+    )
     if x.shape[0] * n_components * 4 <= flat_bytes:
         xd = x if on_device else jax.device_put(x)
         step = lambda g: _em_step_flat(xd, g, reg_covar=reg_covar)
@@ -271,6 +290,13 @@ def fit_em(
             # device_put (not asarray) — materializes the upload eagerly
             xc, wc = jax.device_put(xc_np), jax.device_put(wc_np)
         step = lambda g: _em_step(xc, wc, g, reg_covar=reg_covar)
+    if floor is not None:
+        base_step = step
+
+        def step(g, _base=base_step, _floor=floor):
+            g2, ll = _base(g)
+            return _floor_variances(g2, _floor), ll
+
     if verbose:
         # per-iteration host fetch only when asked to narrate
         prev_ll = -np.inf
@@ -311,7 +337,10 @@ def fit_em(
     return gmm
 
 
-@partial(jax.jit, static_argnames=("relevance_factor", "var_floor"))
+@partial(
+    jax.jit,
+    static_argnames=("relevance_factor", "var_floor", "adapt_vars", "adapt_weights"),
+)
 def map_adapt(
     ubm: DiagGMM,
     x: jnp.ndarray,
@@ -319,6 +348,8 @@ def map_adapt(
     relevance_factor: float = 10.0,
     var_floor: float = 1e-6,
     frame_weights: jnp.ndarray | None = None,
+    adapt_vars: bool = True,
+    adapt_weights: bool = True,
 ) -> DiagGMM:
     """MAP adaptation with the reference's exact update equations
     (reference/ASV_dl_func.py:1172-1197).
@@ -330,20 +361,36 @@ def map_adapt(
     ``frame_weights`` (N,) weights each frame's sufficient statistics; a 0/1
     mask adapts to a subset of a shared device-resident frame buffer without
     a second upload (exactly equal to slicing the subset out).
+
+    ``adapt_vars`` / ``adapt_weights`` default True = the reference's full
+    (means, variances, weights) update. Standard speaker-verification MAP
+    (Reynolds et al. 2000) adapts MEANS ONLY: adapting variances shrinks a
+    class model tightly around its own frames, and the quadratic penalty on
+    tail frames can then exceed the density gain — measured on the surrogate
+    corpus this inverts/destabilizes the LLR (train-set mean LLR flipped
+    sign, eval rank-EER 0.58 vs 0.275 means-only). ``train/gmm_system``
+    therefore defaults to means-only and exposes the full update as the
+    parity mode.
     """
     resp = predict_proba(x, ubm)  # (N, K)
     if frame_weights is not None:
         resp = resp * frame_weights[:, None]
     nk = jnp.sum(resp, axis=0) + 1e-6
     fk = resp.T @ x
-    sk = resp.T @ (x * x)
     alpha = nk / (nk + relevance_factor)
     a = alpha[:, None]
     new_means = a * (fk / nk[:, None]) + (1.0 - a) * ubm.means
-    new_vars = a * (sk / nk[:, None] - new_means**2) + (1.0 - a) * ubm.variances
-    new_vars = jnp.maximum(new_vars, var_floor)
-    new_weights = alpha * (nk / jnp.sum(nk)) + (1.0 - alpha) * ubm.weights
-    new_weights = new_weights / jnp.sum(new_weights)
+    if adapt_vars:
+        sk = resp.T @ (x * x)
+        new_vars = a * (sk / nk[:, None] - new_means**2) + (1.0 - a) * ubm.variances
+        new_vars = jnp.maximum(new_vars, var_floor)
+    else:
+        new_vars = ubm.variances
+    if adapt_weights:
+        new_weights = alpha * (nk / jnp.sum(nk)) + (1.0 - alpha) * ubm.weights
+        new_weights = new_weights / jnp.sum(new_weights)
+    else:
+        new_weights = ubm.weights
     return DiagGMM(weights=new_weights, means=new_means, variances=new_vars)
 
 

@@ -6,15 +6,21 @@ from audioanalysisdetector_tpu.score.e2e import (
     melspec_features,
 )
 from audioanalysisdetector_tpu.score.fused import (
+    arm_scores,
     eval_fused,
+    fit_llr_calibration,
     fused_scores,
+    make_arm_scorer,
     make_fused_scorer,
     padding_mask,
 )
 
 __all__ = [
+    "arm_scores",
     "eval_fused",
+    "fit_llr_calibration",
     "fused_scores",
+    "make_arm_scorer",
     "make_cqcc_fused_scorer",
     "make_fused_scorer",
     "make_mel_cnn_bilstm_scorer",

@@ -40,6 +40,24 @@ def padding_mask(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x, axis=-1) != 0.0
 
 
+def arm_scores(
+    bilstm_apply: Callable,
+    variables: dict,
+    gmm_genuine: DiagGMM,
+    gmm_spoof: DiagGMM,
+    x: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Both arms of the fusion for a batch: x (B, T, F) ->
+    (bilstm_prob (B,), llr_spoof (B,), empty (B,) bool)."""
+    logits = bilstm_apply(variables, x, train=False)
+    bilstm_prob = jax.nn.softmax(logits, axis=-1)[:, 1]
+    mask = padding_mask(x)
+    # spoof-polarity LLR (see module docstring on the reference's inverted term)
+    llr_spoof = masked_llr(x, mask, gmm_spoof, gmm_genuine)
+    empty = jnp.sum(mask, axis=-1) == 0
+    return bilstm_prob, llr_spoof, empty
+
+
 def fused_scores(
     bilstm_apply: Callable,
     variables: dict,
@@ -48,16 +66,21 @@ def fused_scores(
     x: jnp.ndarray,
     *,
     weight: float = 0.5,
+    llr_scale: float = 1.0,
+    llr_bias: float = 0.0,
 ) -> jnp.ndarray:
-    """Fused spoof probabilities for a batch: x (B, T, F) -> (B,)."""
-    logits = bilstm_apply(variables, x, train=False)
-    bilstm_prob = jax.nn.softmax(logits, axis=-1)[:, 1]
-    mask = padding_mask(x)
-    # spoof-polarity LLR (see module docstring on the reference's inverted term)
-    llr_spoof = masked_llr(x, mask, gmm_spoof, gmm_genuine)
-    gmm_prob = jax.nn.sigmoid(llr_spoof)
+    """Fused spoof probabilities for a batch: x (B, T, F) -> (B,).
+
+    ``llr_scale``/``llr_bias`` optionally Platt-calibrate the GMM arm
+    (``sigmoid(scale * LLR + bias)``; fit them on a train split with
+    ``fit_llr_calibration``). The defaults are the reference's literal
+    ``sigmoid(LLR)`` (reference/ASV_dl_func.py:1459-1462).
+    """
+    bilstm_prob, llr_spoof, empty = arm_scores(
+        bilstm_apply, variables, gmm_genuine, gmm_spoof, x
+    )
+    gmm_prob = jax.nn.sigmoid(llr_scale * llr_spoof + llr_bias)
     score = weight * bilstm_prob + (1.0 - weight) * gmm_prob
-    empty = jnp.sum(mask, axis=-1) == 0
     return jnp.where(empty, 0.5, score)
 
 
@@ -68,13 +91,57 @@ def make_fused_scorer(
     gmm_spoof: DiagGMM,
     *,
     weight: float = 0.5,
+    llr_scale: float = 1.0,
+    llr_bias: float = 0.0,
 ) -> Callable:
     """Jitted batch scorer ``(B, T, F) -> (B,)`` with everything closed over."""
     return jax.jit(
         partial(
-            fused_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof, weight=weight
+            fused_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof,
+            weight=weight, llr_scale=llr_scale, llr_bias=llr_bias,
         )
     )
+
+
+def make_arm_scorer(
+    bilstm_apply: Callable,
+    variables: dict,
+    gmm_genuine: DiagGMM,
+    gmm_spoof: DiagGMM,
+) -> Callable:
+    """Jitted ``(B, T, F) -> (bilstm_prob, llr, empty)`` batch scorer —
+    per-arm diagnostics (GMM-alone EER, calibration fitting) in one pass."""
+    return jax.jit(
+        partial(arm_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof)
+    )
+
+
+def fit_llr_calibration(
+    llrs: np.ndarray, y_true: np.ndarray, *, iters: int = 50
+) -> tuple[float, float]:
+    """Platt scaling of the GMM arm: fit (scale, bias) of
+    ``P(spoof) = sigmoid(scale * LLR + bias)`` by Newton-Raphson logistic
+    regression on a train split (host-side; the problem is 2-parameter).
+
+    Useful when the mean-frame LLR's natural scale saturates the sigmoid
+    (uncalibrated, a saturated arm degrades fusion to a hard vote). Returns
+    (1.0, 0.0)-compatible floats to feed ``make_fused_scorer``.
+    """
+    llrs = np.asarray(llrs, np.float64)
+    y = np.asarray(y_true, np.float64)
+    a, b = 1.0, 0.0
+    for _ in range(iters):
+        z = np.clip(a * llrs + b, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g_a, g_b = np.sum((p - y) * llrs), np.sum(p - y)
+        w = np.maximum(p * (1.0 - p), 1e-6)
+        h_aa = np.sum(w * llrs * llrs) + 1e-6
+        h_bb = np.sum(w) + 1e-6
+        h_ab = np.sum(w * llrs)
+        det = h_aa * h_bb - h_ab * h_ab
+        a -= (h_bb * g_a - h_ab * g_b) / det
+        b -= (h_aa * g_b - h_ab * g_a) / det
+    return float(a), float(b)
 
 
 def eval_fused(

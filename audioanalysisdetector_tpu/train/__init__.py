@@ -33,6 +33,12 @@ from audioanalysisdetector_tpu.train.metrics import (
     roc_curve_np,
 )
 from audioanalysisdetector_tpu.train.optimizers import OPTIMIZERS, make_optimizer
+from audioanalysisdetector_tpu.train.sweep import (
+    train_3features,
+    train_all_features,
+    train_feature_model,
+    train_mfca,
+)
 from audioanalysisdetector_tpu.train.state import TrainState, param_count
 from audioanalysisdetector_tpu.train.steps import (
     make_dp_train_step,
@@ -77,4 +83,8 @@ __all__ = [
     "save_checkpoint",
     "save_params",
     "shard_batch",
+    "train_3features",
+    "train_all_features",
+    "train_feature_model",
+    "train_mfca",
 ]

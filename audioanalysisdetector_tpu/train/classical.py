@@ -118,8 +118,13 @@ _XGB_PARAM_MAP = {
 
 
 def make_search_pipeline(
-    reducer: str | None, n_comp: int | None, standardize: bool, classifier
+    reducer: str | None, n_comp: int | None, standardize: bool, classifier,
+    *, memory=None,
 ) -> Pipeline:
+    """``memory``: a joblib.Memory (or cache dir path) that caches fitted
+    transformers — identical (scaler, reducer) prefixes are then fit once
+    across the whole sweep (the reference's ``joblib.Memory`` trick,
+    reference/train_fun.py:364-370)."""
     steps = []
     if standardize:
         steps.append(("scaler", StandardScaler()))
@@ -128,7 +133,7 @@ def make_search_pipeline(
     elif reducer == "ica" and n_comp is not None:
         steps.append(("reducer", FastICA(n_components=n_comp, random_state=42)))
     steps.append(("clf", classifier))
-    return Pipeline(steps)
+    return Pipeline(steps, memory=memory)
 
 
 def run_extensive_gridsearch(
@@ -148,9 +153,20 @@ def run_extensive_gridsearch(
     out_dir: str = "gridsearch_results",
     components: tuple[int, ...] = (10, 20, 30, 40),
     random_state: int = 42,
+    cache_dir: str | None = None,
 ):
     """Sweep feature sets x {std} x {None, PCA, ICA} x components x {SVM, XGB};
-    summary + top-k CSVs (the reference's exact search space and defaults)."""
+    summary + top-k CSVs (the reference's exact search space and defaults).
+
+    ``cache_dir`` enables joblib.Memory pipeline caching: every (scaler,
+    reducer) prefix is fit ONCE per feature set instead of once per
+    classifier x param combo (reference/train_fun.py:364-370)."""
+    memory = None
+    if cache_dir is not None:
+        from joblib import Memory
+
+        os.makedirs(cache_dir, exist_ok=True)
+        memory = Memory(location=cache_dir, verbose=0)
     if svm_params is None:
         svm_params = {"clf__C": [1, 10], "clf__kernel": ["rbf"], "clf__gamma": ["scale", 0.1]}
     if xgb_params is None:
@@ -197,7 +213,9 @@ def run_extensive_gridsearch(
                     )
                     arms.append(("XGB", xgb, params))
                     for model_name, clf, param_grid in arms:
-                        pipe = make_search_pipeline(reducer, n_comp, standardize, clf)
+                        pipe = make_search_pipeline(
+                            reducer, n_comp, standardize, clf, memory=memory
+                        )
                         try:
                             gs = GridSearchCV(
                                 pipe,
@@ -236,6 +254,145 @@ def run_extensive_gridsearch(
     df_res.to_csv(os.path.join(out_dir, "gridsearch_summary.csv"), index=False)
     top.to_csv(os.path.join(out_dir, f"top_{top_k}_models.csv"), index=False)
     return top, df_res
+
+
+CLASSICAL_FEATURES = ("mfcc", "lfcc", "cqcc", "gtcc", "wpt", "formants")
+
+
+def classical_main(
+    all_data: dict[str, dict],
+    *,
+    sr: int = 16000,
+    seconds: float = 4.0,
+    sample_caps: dict[str, int] | None = None,
+    default_cap: int = 2500,
+    features: tuple[str, ...] = CLASSICAL_FEATURES,
+    pca_components: tuple[int, ...] = (10, 20, 30, 40),
+    svm_c: tuple[int, ...] = (1, 10),
+    n_estimators: tuple[int, ...] = (50, 100),
+    max_depth: tuple[int, ...] = (3, 5),
+    cv: int = 3,
+    cache_dir: str | None = None,
+    extension: str = ".flac",
+    seed: int = 42,
+    verbose: bool = True,
+) -> dict:
+    """The reference's classical end-to-end ``main()``
+    (reference/train_fun.py:305-403), metadata-driven:
+
+    per-dataset metadata -> existing-file resolution -> sample caps
+    (LA 5000 / others 2500, :321-331) -> batched extraction of the 6
+    features incl. the formant/silence dict (:334-344) -> dropna ->
+    ``expand_feature_columns`` (dict + vector cells, :227-246) ->
+    ``preprocess_for_modeling`` -> PCA+SVC and PCA+XGB ``GridSearchCV``
+    (cv=3, accuracy) with joblib.Memory pipeline caching (:364-370).
+
+    One deviation, documented: the reference extracts over WHOLE files
+    (variable length); XLA wants static shapes, so features are computed
+    over a fixed ``seconds`` analysis window (zero-padded when shorter) —
+    time-mean pooling makes the two near-identical for speech-length audio.
+
+    Returns {"svm": {...}, "xgb": {...}, "n_train": int, "n_test": int}.
+    """
+    import tempfile
+
+    from joblib import Memory
+
+    from audioanalysisdetector_tpu.data.metadata import (
+        prepare_filepaths,
+        read_metadata,
+    )
+    from audioanalysisdetector_tpu.data.pipeline import extract_features
+
+    sample_caps = sample_caps if sample_caps is not None else {"LA": 5000}
+    rng = np.random.default_rng(seed)
+
+    dfs = []
+    for key, value in all_data.items():
+        folders = value["flac"]
+        if isinstance(folders, str):
+            folders = [folders]
+        for folder in folders:
+            try:
+                df = read_metadata(value["metadata"])
+            except FileNotFoundError:
+                print(f"WARNING: metadata file not found: {value['metadata']}")
+                continue
+            df = prepare_filepaths(df, folder, extension=extension)
+            if verbose:
+                print(f"found {len(df)} existing files for {key} in {os.path.basename(folder)}")
+            if df.empty:
+                continue
+            cap = sample_caps.get(key, default_cap)
+            if len(df) > cap:
+                df = df.iloc[rng.permutation(len(df))[:cap]].copy()
+            dfs.append(df)
+    if not dfs:
+        raise ValueError("no usable data from any configured dataset")
+    final_df = pd.concat(dfs, ignore_index=True, join="inner")
+    if verbose:
+        print(f"total files to process: {len(final_df)}")
+
+    # fixed analysis window (static shapes); mean-pooled like the reference's
+    # whole-file extractors (reference/train_fun.py:69-141 all return means)
+    final_df["chunk_start"], final_df["chunk_end"] = 0.0, float(seconds)
+    final_df = extract_features(final_df, list(features), sr=sr, mean=True)
+
+    initial = len(final_df)
+    final_df = final_df.dropna(subset=list(features))
+    if verbose:
+        print(f"dropped {initial - len(final_df)} rows with extraction failures")
+    if final_df.empty:
+        raise ValueError("no valid rows after feature extraction")
+
+    new_df = expand_feature_columns(final_df, list(features), "label")
+    X_train, X_test, y_train, y_test, scaler = preprocess_for_modeling(new_df)
+    if verbose:
+        print(f"train (balanced): {X_train.shape}  test: {X_test.shape}")
+
+    cache_dir = cache_dir or os.path.join(tempfile.gettempdir(), "aad_classical_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    memory = Memory(location=cache_dir, verbose=0)
+    comps = [c for c in pca_components if c < X_train.shape[1]] or [
+        max(X_train.shape[1] - 1, 1)
+    ]
+
+    def create_pipeline(clf):
+        # Memory caches fitted transformers across grid combos, the
+        # reference's exact speedup trick (reference/train_fun.py:364-370)
+        return Pipeline([("pca", PCA(random_state=seed)), ("clf", clf)], memory=memory)
+
+    out: dict = {"n_train": int(len(y_train)), "n_test": int(len(y_test))}
+
+    svm_params = {
+        "pca__n_components": comps, "clf__C": list(svm_c),
+        "clf__kernel": ["rbf"], "clf__gamma": ["scale"],
+    }
+    grid_svm = GridSearchCV(
+        create_pipeline(SVC(probability=True, random_state=seed)),
+        svm_params, scoring="accuracy", cv=cv, n_jobs=-1,
+    )
+    _, acc, f1 = run_grid_search(grid_svm, X_train, y_train, X_test, y_test)
+    out["svm"] = {"accuracy": acc, "f1": f1,
+                  "best_params": {k: str(v) for k, v in grid_svm.best_params_.items()}}
+
+    xgb, param_map = _xgb_like(seed)
+    xgb_params = {
+        "pca__n_components": comps,
+        "clf__n_estimators": list(n_estimators),
+        "clf__max_depth": list(max_depth),
+        "clf__learning_rate": [0.1],
+    }
+    if param_map:
+        xgb_params = {param_map.get(k, k): v for k, v in xgb_params.items()
+                      if not k.startswith("clf__") or k in param_map}
+    grid_xgb = GridSearchCV(
+        create_pipeline(xgb), xgb_params, scoring="accuracy", cv=cv, n_jobs=-1
+    )
+    _, acc, f1 = run_grid_search(grid_xgb, X_train, y_train, X_test, y_test)
+    out["xgb"] = {"accuracy": acc, "f1": f1,
+                  "best_params": {k: str(v) for k, v in grid_xgb.best_params_.items()}}
+    return out
 
 
 def train_gridsearch(X_train, y_train, *, param_grid=None, cv: int = 3):

@@ -37,11 +37,25 @@ def train_gmm_system(
     n_components: int = 128,
     max_iter: int = 100,
     relevance_factor: float = 10.0,
+    adapt_mode: str = "means",
+    var_floor_rel: float = 1e-3,
     model_dir: str = "GMM-BiLSTM",
     seed: int = 42,
     verbose: bool = False,
 ) -> tuple[DiagGMM, DiagGMM, DiagGMM]:
-    """Returns (ubm, gmm_genuine, gmm_spoof) and persists them in model_dir."""
+    """Returns (ubm, gmm_genuine, gmm_spoof) and persists them in model_dir.
+
+    ``adapt_mode``: ``"means"`` (default) = Reynolds-style means-only MAP;
+    ``"full"`` = the reference's means+variances+weights update
+    (reference/ASV_dl_func.py:1172-1197). The reference default is NOT the
+    system default because variance adaptation measurably destabilizes the
+    LLR (see ``models.gmm.map_adapt`` docstring: surrogate eval rank-EER
+    0.58 full vs 0.275 means-only, with saturated/inverted LLRs in the full
+    mode) — fixed-with-a-pointer per SURVEY.md §7. ``var_floor_rel``
+    guards the UBM EM against variance collapse for the same reason.
+    """
+    if adapt_mode not in ("means", "full"):
+        raise ValueError(f"adapt_mode must be 'means' or 'full', got {adapt_mode!r}")
     os.makedirs(model_dir, exist_ok=True)
     labels = np.asarray(labels)
     all_frames = _stack_frames(train_seqs)
@@ -57,19 +71,25 @@ def train_gmm_system(
     frame_labels = np.repeat(labels, frames_per_seq)
 
     t0 = time.time()
-    ubm = fit_em(xd, n_components, max_iter=max_iter, seed=seed, verbose=verbose)
+    ubm = fit_em(
+        xd, n_components, max_iter=max_iter, seed=seed,
+        var_floor_rel=var_floor_rel, verbose=verbose,
+    )
     t_ubm = time.time() - t0
     if verbose:
         print(f"UBM EM done in {t_ubm:.2f}s on {len(all_frames)} frames")
 
+    full = adapt_mode == "full"
     t0 = time.time()
     w_genuine = jnp.asarray((frame_labels == 0).astype(np.float32))
     gmm_genuine = map_adapt(
-        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_genuine
+        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_genuine,
+        adapt_vars=full, adapt_weights=full,
     )
     w_spoof = jnp.asarray((frame_labels == 1).astype(np.float32))
     gmm_spoof = map_adapt(
-        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_spoof
+        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_spoof,
+        adapt_vars=full, adapt_weights=full,
     )
     if verbose:
         print(f"MAP adaptation done in {time.time() - t0:.2f}s")

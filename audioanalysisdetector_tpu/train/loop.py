@@ -32,8 +32,16 @@ from audioanalysisdetector_tpu.train.state import TrainState
 from audioanalysisdetector_tpu.train.steps import make_eval_step, make_train_step
 
 
+def _take(x, sel):
+    """Row-select that also handles multi-input tuples (e.g. the 3-feature
+    fusion net's (cqcc, gtcc, mfcc) inputs)."""
+    if isinstance(x, tuple):
+        return tuple(xi[sel] for xi in x)
+    return x[sel]
+
+
 def batch_iter(
-    x: np.ndarray,
+    x: np.ndarray | tuple[np.ndarray, ...],
     y: np.ndarray,
     batch_size: int,
     *,
@@ -43,6 +51,8 @@ def batch_iter(
     across_processes: bool = False,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
     """Yield (x_batch, y_batch, true_count); tail batch padded to full size.
+
+    ``x`` may be a tuple of arrays (multi-input models); rows stay aligned.
 
     ``across_processes``: multi-host data loading — every process walks the
     SAME global permutation (same seed) but materializes only its
@@ -63,7 +73,7 @@ def batch_iter(
             from audioanalysisdetector_tpu.parallel.mesh import process_shard
 
             sel = sel[process_shard(len(sel))]
-        yield x[sel], y[sel], true
+        yield _take(x, sel), y[sel], true
 
 
 @dataclass
@@ -85,6 +95,32 @@ class FitResult:
     n_compiled_shapes: int = -1  # fit_bucketed: distinct jit cache entries
 
 
+def _pick_dp_mesh(batch_size: int, data_parallel: bool | None):
+    """Resolve the data-parallel decision for ``fit``.
+
+    ``None`` (auto): use every local device when there is more than one and
+    the batch divides evenly — single-device behavior is untouched otherwise.
+    ``True``: required; raises if the batch cannot be sharded. ``False``: off.
+    Returns a ``Mesh`` or None.
+    """
+    if data_parallel is False:
+        return None
+    n_dev = jax.local_device_count()
+    if n_dev <= 1:
+        if data_parallel is True:
+            raise ValueError("data_parallel=True but only one local device")
+        return None
+    if batch_size % n_dev != 0:
+        if data_parallel is True:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {n_dev} devices"
+            )
+        return None
+    from audioanalysisdetector_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n_dev, axis="data")
+
+
 def fit(
     state: TrainState,
     train_data: tuple[np.ndarray, np.ndarray],
@@ -100,12 +136,34 @@ def fit(
     step_fn: Callable | None = None,
     verbose: bool = False,
     plots: bool = True,
+    data_parallel: bool | None = None,
 ) -> FitResult:
-    """Generic epoch driver (the reference ``train_loop`` contract)."""
+    """Generic epoch driver (the reference ``train_loop`` contract).
+
+    ``data_parallel``: None (default) auto-enables the ``shard_map`` +
+    ``pmean`` step over all local devices whenever there is more than one and
+    ``batch_size`` divides evenly (train batches are always tail-padded to
+    full size, so every step shards cleanly); True forces it, False disables.
+    Gradients are pmean-reduced over ICI — numerically the global batch mean,
+    identical to the single-device step up to float reassociation (dropout
+    draws differ: shards decorrelate their masks by design, train/steps.py).
+    """
     loss_fn = get_loss(loss_name)
-    step = step_fn or jax.jit(
-        make_train_step(loss_fn, has_batch_stats=has_batch_stats, binary_head=binary_head)
-    )
+    mesh = _pick_dp_mesh(batch_size, data_parallel) if step_fn is None else None
+    if mesh is not None:
+        from audioanalysisdetector_tpu.train.steps import make_dp_train_step, replicate
+
+        # donate=False: ``best_state`` aliases a previous step's buffers —
+        # donating would invalidate the checkpointed state one step later
+        step = make_dp_train_step(
+            loss_fn, mesh, has_batch_stats=has_batch_stats,
+            binary_head=binary_head, donate=False,
+        )
+        state = replicate(state, mesh)
+    else:
+        step = step_fn or jax.jit(
+            make_train_step(loss_fn, has_batch_stats=has_batch_stats, binary_head=binary_head)
+        )
     eval_step = jax.jit(
         make_eval_step(loss_fn, has_batch_stats=has_batch_stats, binary_head=binary_head)
     )
@@ -116,7 +174,6 @@ def fit(
     worst_val = -float("inf")
     best_state = state
     best_epoch = -1
-    csv_rows = ["epoch,train_loss,train_acc,val_loss,val_acc,seconds"]
 
     import jax.numpy as jnp
 
@@ -124,29 +181,33 @@ def fit(
         t0 = time.time()
         # metrics accumulate ON DEVICE; the host fetches once per epoch —
         # a per-step float() would force a device sync every step (69 ms
-        # round-trip on tunneled runtimes, dwarfing the 16 ms step itself)
-        tr_loss_d = jnp.zeros(())
-        tr_acc_d = jnp.zeros(())
+        # round-trip on tunneled runtimes, dwarfing the 16 ms step itself).
+        # Accumulators initialize lazily from the first step's output so they
+        # inherit its sharding (a zeros(()) committed to the default device
+        # cannot be added to a mesh-replicated metric).
+        tr_loss_d = tr_acc_d = None
         tr_n = 0.0
         for xb, yb, true in batch_iter(*train_data, batch_size, shuffle=True, seed=seed + epoch):
             rng, sub = jax.random.split(rng)
             state, m = step(state, xb, yb, sub)
-            tr_loss_d = tr_loss_d + m["loss"] * true
-            tr_acc_d = tr_acc_d + m["accuracy"] * true
+            dl, da = m["loss"] * true, m["accuracy"] * true
+            tr_loss_d = dl if tr_loss_d is None else tr_loss_d + dl
+            tr_acc_d = da if tr_acc_d is None else tr_acc_d + da
             tr_n += true
         tr_loss, tr_acc = float(tr_loss_d), float(tr_acc_d)
 
-        va_loss_d = jnp.zeros(())
-        va_acc_d = jnp.zeros(())
+        va_loss_d = va_acc_d = None
         va_n = 0.0
         # tail batch left unpadded (one extra compile) so the logged val loss
         # — and best-checkpoint selection — is exact, not padded-row-biased
         for xb, yb, true in batch_iter(*val_data, batch_size, shuffle=False, pad_tail=False):
             m = eval_step(state, xb, yb)
-            va_loss_d = va_loss_d + m["loss"] * true
-            va_acc_d = va_acc_d + m["accuracy"] * true
+            dl, da = m["loss"] * true, m["accuracy"] * true
+            va_loss_d = dl if va_loss_d is None else va_loss_d + dl
+            va_acc_d = da if va_acc_d is None else va_acc_d + da
             va_n += true
-        va_loss, va_acc = float(va_loss_d), float(va_acc_d)
+        va_loss = float(va_loss_d) if va_loss_d is not None else 0.0
+        va_acc = float(va_acc_d) if va_acc_d is not None else 0.0
 
         row = EpochLog(
             epoch=epoch,
@@ -157,10 +218,6 @@ def fit(
             seconds=time.time() - t0,
         )
         logs.append(row)
-        csv_rows.append(
-            f"{row.epoch},{row.train_loss:.6f},{row.train_acc:.6f},"
-            f"{row.val_loss:.6f},{row.val_acc:.6f},{row.seconds:.3f}"
-        )
         if verbose:
             print(
                 f"epoch {epoch}: train loss {row.train_loss:.4f} acc {row.train_acc:.4f}"
@@ -185,28 +242,56 @@ def fit(
                 )
 
     if run_dir:
-        os.makedirs(run_dir, exist_ok=True)
-        with open(os.path.join(run_dir, "training_log.csv"), "w") as f:
-            f.write("\n".join(csv_rows) + "\n")
-        # human-readable txt log (the reference's per-run training_log.txt,
-        # reference/ASV_dl_func.py:1239-1243, 1348-1361)
-        with open(os.path.join(run_dir, "training_log.txt"), "w") as f:
-            f.write(f"Training | loss: {loss_name} | epochs: {num_epochs} "
-                    f"| batch: {batch_size}\n" + "=" * 80 + "\n")
-            for row in logs:
-                f.write(
-                    f"epoch {row.epoch}: train loss {row.train_loss:.6f} "
-                    f"acc {row.train_acc:.4f} | val loss {row.val_loss:.6f} "
-                    f"acc {row.val_acc:.4f} ({row.seconds:.2f}s)\n"
-                )
-            f.write(f"best epoch: {best_epoch} (val loss {best_val:.6f})\n")
-        with open(os.path.join(run_dir, "logs.json"), "w") as f:
-            json.dump([row.__dict__ for row in logs], f, indent=2)
-        save_checkpoint(os.path.join(run_dir, "final_model.msgpack"), state)
-        if plots:
-            _save_plots(logs, run_dir)
+        _write_run_artifacts(
+            run_dir, logs, loss_name=loss_name, num_epochs=num_epochs,
+            batch_size=batch_size, best_epoch=best_epoch, best_val=best_val,
+            final_state=state, plots=plots,
+        )
 
     return FitResult(state=state, best_state=best_state, logs=logs, best_epoch=best_epoch)
+
+
+def _write_run_artifacts(
+    run_dir: str,
+    logs: list[EpochLog],
+    *,
+    loss_name: str,
+    num_epochs: int,
+    batch_size: int,
+    best_epoch: int,
+    best_val: float,
+    final_state: TrainState | None,
+    plots: bool = True,
+) -> None:
+    """The per-run artifact contract shared by ``fit`` and ``fit_bucketed``:
+    CSV + human txt + JSON epoch logs, final checkpoint, loss/accuracy PNGs
+    (reference/ASV_dl_func.py:1332-1382)."""
+    os.makedirs(run_dir, exist_ok=True)
+    csv_rows = ["epoch,train_loss,train_acc,val_loss,val_acc,seconds"] + [
+        f"{r.epoch},{r.train_loss:.6f},{r.train_acc:.6f},"
+        f"{r.val_loss:.6f},{r.val_acc:.6f},{r.seconds:.3f}"
+        for r in logs
+    ]
+    with open(os.path.join(run_dir, "training_log.csv"), "w") as f:
+        f.write("\n".join(csv_rows) + "\n")
+    # human-readable txt log (the reference's per-run training_log.txt,
+    # reference/ASV_dl_func.py:1239-1243, 1348-1361)
+    with open(os.path.join(run_dir, "training_log.txt"), "w") as f:
+        f.write(f"Training | loss: {loss_name} | epochs: {num_epochs} "
+                f"| batch: {batch_size}\n" + "=" * 80 + "\n")
+        for row in logs:
+            f.write(
+                f"epoch {row.epoch}: train loss {row.train_loss:.6f} "
+                f"acc {row.train_acc:.4f} | val loss {row.val_loss:.6f} "
+                f"acc {row.val_acc:.4f} ({row.seconds:.2f}s)\n"
+            )
+        f.write(f"best epoch: {best_epoch} (val loss {best_val:.6f})\n")
+    with open(os.path.join(run_dir, "logs.json"), "w") as f:
+        json.dump([row.__dict__ for row in logs], f, indent=2)
+    if final_state is not None:
+        save_checkpoint(os.path.join(run_dir, "final_model.msgpack"), final_state)
+    if plots:
+        _save_plots(logs, run_dir)
 
 
 def fit_bucketed(
@@ -223,7 +308,9 @@ def fit_bucketed(
     batch_size: int = 16,
     n_buckets: int = 4,
     seed: int = 0,
+    run_dir: str | None = None,
     verbose: bool = False,
+    plots: bool = True,
 ) -> FitResult:
     """Ragged-corpus trainer: variable-length sequences over length buckets.
 
@@ -235,6 +322,10 @@ def fit_bucketed(
     ``FitResult.n_compiled_shapes``). Mask semantics follow the scorer's
     contract (reference/ASV_dl_func.py:1486-1489): padded frames are zero
     and each sequence's logits read its TRUE last step via ``lengths``.
+
+    ``run_dir`` gets the same artifact contract as ``fit`` (best/worst
+    checkpoints by val loss, CSV/txt/JSON logs, curves, final checkpoint —
+    reference/ASV_dl_func.py:1332-1382).
     """
     import jax.numpy as jnp
 
@@ -280,6 +371,7 @@ def fit_bucketed(
 
     logs: list[EpochLog] = []
     best_val = float("inf")
+    worst_val = -float("inf")
     best_state = state
     best_epoch = -1
     for epoch in range(num_epochs):
@@ -324,6 +416,25 @@ def fit_bucketed(
             )
         if row.val_loss < best_val:
             best_val, best_state, best_epoch = row.val_loss, state, epoch
+            if run_dir:
+                save_checkpoint(
+                    os.path.join(run_dir, "best_model.msgpack"), state,
+                    metadata={"epoch": epoch, "val_loss": row.val_loss},
+                )
+        if row.val_loss > worst_val:
+            worst_val = row.val_loss
+            if run_dir:
+                save_checkpoint(
+                    os.path.join(run_dir, "worst_model.msgpack"), state,
+                    metadata={"epoch": epoch, "val_loss": row.val_loss},
+                )
+
+    if run_dir:
+        _write_run_artifacts(
+            run_dir, logs, loss_name=loss_name, num_epochs=num_epochs,
+            batch_size=batch_size, best_epoch=best_epoch, best_val=best_val,
+            final_state=state, plots=plots,
+        )
 
     return FitResult(
         state=state, best_state=best_state, logs=logs, best_epoch=best_epoch,

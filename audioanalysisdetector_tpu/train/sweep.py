@@ -1,4 +1,4 @@
-"""Per-feature training sweep — the optimizer x loss x feature grid.
+"""Per-feature training sweep + the notebook-cell training drivers.
 
 Counterpart of ``train_all_features`` / ``train_feature_model``
 (reference/ASV_dl_func.py:872-1029): for every (optimizer, criterion,
@@ -6,6 +6,11 @@ feature) cell, standardize that feature on train frames, train a fresh
 ``AntiSpoofingResNet``, and persist per-cell artifacts — best + final
 checkpoints, epoch logs (JSON), final metrics (JSON), and the scaler — in
 ``{out_dir}/{optimizer}_{criterion}/``.
+
+Also the two notebook-only training loops that previously had no driver
+(round-2 review Missing #3): ``train_3features`` (the 3-feature fusion net,
+ASV_deep_learning.ipynb cells 32-33) and ``train_mfca`` (MobileNetV2+MFCA,
+cells 29-31), each with the same run-dir artifact contract as ``fit``.
 
 Data enters as arrays: ``features[name] = (train_x, test_x)`` with 2-D
 feature maps per example, plus integer labels.
@@ -98,6 +103,105 @@ def train_feature_model(
         "final": metrics_final,
         "run_dir": run_dir,
     }
+
+
+def train_3features(
+    train_feats: tuple[np.ndarray, np.ndarray, np.ndarray],
+    train_y: np.ndarray,
+    test_feats: tuple[np.ndarray, np.ndarray, np.ndarray],
+    test_y: np.ndarray,
+    *,
+    epochs: int = 50,
+    lr: float = 1e-4,
+    batch_size: int = 16,
+    out_dir: str = "MoreFeatures",
+    seed: int = 0,
+    verbose: bool = False,
+) -> dict:
+    """Train the shared-trunk 3-feature fusion net end to end — the
+    notebook's ``train_loop_3features`` driver (ASV_deep_learning.ipynb
+    cells 32-33: (cqcc, gtcc, mfcc) UNSCALED through one shared
+    ``ExtractFeatureResidual``, CrossEntropy, Adam lr 1e-4, batch 16,
+    best-state tracking by val loss, final acc/F1/EER).
+
+    ``train_feats`` / ``test_feats``: three aligned (N, H_i, W_i) arrays.
+    Returns {"best": metrics, "final": metrics, "run_dir": ...}.
+    """
+    import optax
+
+    from audioanalysisdetector_tpu.models.resnet import MoreFeaturesClassifier
+    from audioanalysisdetector_tpu.train.loop import fit
+
+    tr = tuple(np.asarray(a, np.float32) for a in train_feats)
+    te = tuple(np.asarray(a, np.float32) for a in test_feats)
+    model = MoreFeaturesClassifier()
+    variables = model.init(
+        jax.random.PRNGKey(seed), *(a[:1] for a in tr), train=False
+    )
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=optax.adam(lr),
+        batch_stats=variables["batch_stats"],
+    )
+    result = fit(
+        state, (tr, train_y), (te, test_y),
+        loss_name="CrossEntropyLoss", num_epochs=epochs, batch_size=batch_size,
+        seed=seed, run_dir=out_dir, has_batch_stats=True, verbose=verbose,
+        plots=False,
+    )
+    metrics_best = evaluate(result.best_state, (te, test_y), loss_name="CrossEntropyLoss")
+    metrics_final = evaluate(result.state, (te, test_y), loss_name="CrossEntropyLoss")
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump({"best": metrics_best, "final": metrics_final}, f, indent=2)
+    return {"best": metrics_best, "final": metrics_final, "run_dir": out_dir}
+
+
+def train_mfca(
+    train_x: np.ndarray,
+    train_y: np.ndarray,
+    test_x: np.ndarray,
+    test_y: np.ndarray,
+    *,
+    epochs: int = 20,
+    lr: float = 1e-4,
+    weight_decay: float = 1e-5,
+    batch_size: int = 32,
+    out_dir: str = "MobileNet-MFCA",
+    seed: int = 0,
+    verbose: bool = False,
+) -> dict:
+    """Train MobileNetV2+MFCA on mel-spectrograms — the notebook's
+    ``train_loop_mfca`` driver (ASV_deep_learning.ipynb cells 29-31:
+    'mel-spect' unscaled, CrossEntropy, Adam lr 1e-4 weight_decay 1e-5,
+    batch 32, epochs 20, best-state tracking by val loss)."""
+    import optax
+
+    from audioanalysisdetector_tpu.models.mobilenet_mfca import MobileNetMFCA
+    from audioanalysisdetector_tpu.train.loop import fit
+
+    tr = np.asarray(train_x, np.float32)
+    te = np.asarray(test_x, np.float32)
+    model = MobileNetMFCA()
+    variables = model.init(jax.random.PRNGKey(seed), tr[:1], train=False)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        # torch Adam weight_decay = L2 added to the gradient (not decoupled)
+        tx=optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr)),
+        batch_stats=variables["batch_stats"],
+    )
+    result = fit(
+        state, (tr, train_y), (te, test_y),
+        loss_name="CrossEntropyLoss", num_epochs=epochs, batch_size=batch_size,
+        seed=seed, run_dir=out_dir, has_batch_stats=True, verbose=verbose,
+        plots=False,
+    )
+    metrics_best = evaluate(result.best_state, (te, test_y), loss_name="CrossEntropyLoss")
+    metrics_final = evaluate(result.state, (te, test_y), loss_name="CrossEntropyLoss")
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump({"best": metrics_best, "final": metrics_final}, f, indent=2)
+    return {"best": metrics_best, "final": metrics_final, "run_dir": out_dir}
 
 
 def train_all_features(

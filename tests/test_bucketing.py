@@ -91,13 +91,24 @@ def test_fit_bucketed_ragged_cqcc_end_to_end(rng):
     tr_idx = [i for i in range(len(seqs)) if i % 4 != 3]
     va_idx = [i for i in range(len(seqs)) if i % 4 == 3]
 
+    import tempfile
+
     model = BiLSTMClassifier(hidden=16)
+    run_dir = tempfile.mkdtemp(prefix="bucketed_run_")
     result = fit_bucketed(
         model,
         [seqs[i] for i in tr_idx], labels[tr_idx],
         [seqs[i] for i in va_idx], labels[va_idx],
         num_epochs=8, batch_size=6, n_buckets=3, lr=5e-3, seed=0,
+        run_dir=run_dir, plots=False,
     )
+    # same artifact contract as fit() (round-2 review Weak #4;
+    # reference/ASV_dl_func.py:1332-1382)
+    import os
+    for artifact in ("best_model.msgpack", "worst_model.msgpack",
+                     "final_model.msgpack", "training_log.csv",
+                     "training_log.txt", "logs.json"):
+        assert os.path.exists(os.path.join(run_dir, artifact)), artifact
     ladder = make_bucket_ladder(
         np.asarray([len(s) for s in seqs]), n_buckets=3
     )

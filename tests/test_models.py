@@ -136,6 +136,32 @@ def test_map_adapt_matches_reference_equations(rng):
     np.testing.assert_allclose(np.asarray(ours.weights), new_w, rtol=1e-3, atol=1e-6)
 
 
+def test_map_adapt_means_only(rng):
+    """Reynolds-style means-only mode: means move, variances and weights
+    stay at the UBM's exactly (the flagship default; see gmm.map_adapt)."""
+    ubm = _rand_gmm(rng, k=6, d=4)
+    x = rng.standard_normal((500, 4)).astype(np.float32) + 0.5
+    full = map_adapt(ubm, jnp.asarray(x))
+    mo = map_adapt(ubm, jnp.asarray(x), adapt_vars=False, adapt_weights=False)
+    np.testing.assert_array_equal(np.asarray(mo.variances), np.asarray(ubm.variances))
+    np.testing.assert_array_equal(np.asarray(mo.weights), np.asarray(ubm.weights))
+    np.testing.assert_allclose(np.asarray(mo.means), np.asarray(full.means), atol=1e-6)
+    assert np.abs(np.asarray(mo.means) - np.asarray(ubm.means)).max() > 1e-3
+
+
+def test_fit_em_var_floor_rel(rng):
+    """A cluster of near-duplicate frames must not collapse a component's
+    variance below the relative floor (collapse inflates every LLR)."""
+    base = rng.standard_normal((2000, 3)).astype(np.float32)
+    dupes = np.repeat(rng.standard_normal((1, 3)).astype(np.float32), 300, axis=0)
+    x = np.concatenate([base, dupes + 1e-5 * rng.standard_normal((300, 3)).astype(np.float32)])
+    floored = fit_em(x, n_components=8, max_iter=50, seed=0, var_floor_rel=1e-3)
+    floor = 1e-3 * x.var(axis=0)
+    assert (np.asarray(floored.variances) >= floor - 1e-9).all()
+    plain = fit_em(x, n_components=8, max_iter=50, seed=0)
+    assert np.asarray(plain.variances).min() < np.asarray(floored.variances).min()
+
+
 def test_bilstm_classifier_shapes_and_grads(rng):
     model = BiLSTMClassifier(hidden=16)
     x = jnp.asarray(rng.standard_normal((4, 63, 19)).astype(np.float32))

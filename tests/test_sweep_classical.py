@@ -46,6 +46,69 @@ def test_generate_feature_sets():
     assert names == ["all", "a", "b", "a_plus_b", "b_plus_a"]
 
 
+def test_extract_features_formants_column(tmp_path, rng):
+    """'formants' routes through the host Burg/roots hybrid and produces
+    DICT cells that expand_feature_columns explodes into scalar columns —
+    the reference's classical 6th feature (reference/train_fun.py:340-344,
+    :227-246), previously unreachable (round-2 review Missing #1)."""
+    import pandas as pd
+
+    from audioanalysisdetector_tpu.data.pipeline import extract_features
+    from audioanalysisdetector_tpu.io.audio import write_wav
+
+    paths = []
+    for i in range(3):
+        t = np.arange(16000) / 16000
+        y = (0.4 * np.sin(2 * np.pi * 150 * t) * (1 + 0.3 * np.sin(2 * np.pi * 3 * t))).astype(np.float32)
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, y, 16000)
+        paths.append(p)
+    df = pd.DataFrame({"file_path": paths, "label": ["bonafide", "spoof", "spoof"]})
+    df["chunk_start"], df["chunk_end"] = 0.0, 1.0
+    out = extract_features(df, ["formants", "wpt"], sr=16000, mean=True)
+    assert all(isinstance(c, dict) and len(c) == 10 for c in out["formants"])
+    expanded = expand_feature_columns(out, ["formants", "wpt"], "label")
+    assert "formants_silence_ratio" in expanded.columns
+    assert "formants_vtl_total_duration" in expanded.columns
+    assert "wpt_0" in expanded.columns and len(expanded) == 3
+
+
+def test_classical_main_end_to_end(tmp_path):
+    """Metadata-driven classical pipeline (reference/train_fun.py:305-403):
+    sample caps, mixed vector+dict features, expansion, PCA+SVC/XGB grids
+    with Memory caching (round-2 review Missing #2)."""
+    from audioanalysisdetector_tpu.data.synthetic import make_surrogate_corpus
+    from audioanalysisdetector_tpu.train.classical import classical_main
+
+    meta, flac_dir = make_surrogate_corpus(
+        str(tmp_path / "c"), n_bonafide=10, n_spoof_per_tier=4,
+        seconds=1.5, seed=3, subset="train",
+    )
+    cache = str(tmp_path / "cache")
+    out = classical_main(
+        {"LA": {"metadata": meta, "flac": [flac_dir]}},
+        seconds=1.5,
+        features=("wpt", "formants"),
+        pca_components=(4,),
+        cv=2,
+        cache_dir=cache,
+        verbose=False,
+    )
+    assert set(out) == {"svm", "xgb", "n_train", "n_test"}
+    for arm in ("svm", "xgb"):
+        assert 0.0 <= out[arm]["accuracy"] <= 1.0
+        assert "pca__n_components" in out[arm]["best_params"]
+    assert os.path.exists(cache) and os.listdir(cache)  # Memory cache used
+
+    # sample-cap behavior: cap of 6 limits the ingested rows
+    capped = classical_main(
+        {"XX": {"metadata": meta, "flac": [flac_dir]}},
+        seconds=1.5, features=("wpt",), pca_components=(2,), cv=2,
+        sample_caps={}, default_cap=10, verbose=False,
+    )
+    assert capped["n_test"] == 2  # 10 files -> 8/2 split
+
+
 def test_extensive_gridsearch_smoke(tmp_path, rng):
     n = 60
     X = rng.standard_normal((n, 6))
