@@ -41,7 +41,10 @@ def main() -> None:
         "vs_baseline": round(metrics["fused"]["eer"] - 0.2565, 4),
         **metrics,
     }
-    name = f"QUALITY_r{round_no}.json" if round_no != "current" else "QUALITY.json"
+    if round_no == "current":
+        name = "QUALITY.json"
+    else:
+        name = f"QUALITY_r{int(round_no):02d}.json"  # zero-padded like QUALITY_r02
     path = os.path.join(os.path.dirname(__file__), "..", name)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
