@@ -98,10 +98,12 @@ class FitResult:
 def _pick_dp_mesh(batch_size: int, data_parallel: bool | None):
     """Resolve the data-parallel decision for ``fit``.
 
-    ``None`` (auto): use every local device when there is more than one and
-    the batch divides evenly — single-device behavior is untouched otherwise.
-    ``True``: required; raises if the batch cannot be sharded. ``False``: off.
-    Returns a ``Mesh`` or None.
+    ``None`` (auto): use every local device when there is more than one,
+    the batch divides evenly AND each shard gets >= 4 rows (sharding 1-2
+    rows per device costs more in dispatch/collective overhead than the
+    parallelism buys) — single-device behavior is untouched otherwise.
+    ``True``: required; raises if the batch cannot be sharded. ``False``:
+    off. Returns a ``Mesh`` or None.
     """
     if data_parallel is False:
         return None
@@ -115,6 +117,8 @@ def _pick_dp_mesh(batch_size: int, data_parallel: bool | None):
             raise ValueError(
                 f"batch_size {batch_size} not divisible by {n_dev} devices"
             )
+        return None
+    if data_parallel is None and batch_size < 4 * n_dev:
         return None
     from audioanalysisdetector_tpu.parallel.mesh import make_mesh
 

@@ -57,12 +57,16 @@ def test_corpus_layout_and_ingestion(tmp_path):
 def test_surrogate_quality_recipe_learns(tmp_path):
     """The frozen QUALITY recipe must keep beating chance by a wide margin —
     the round-over-round EER trend line (round-1 review Missing #2).
-    Recipe-v2 reference values (CPU, deterministic, 240-chunk eval):
-    bilstm EER 0.250, fused EER 0.275 (vs the real-data reference 0.2565)."""
+    Recipe-v3 reference values (CPU, 480-chunk eval, two seeds probed):
+    bilstm EER 0.08-0.10, gmm 0.20, fused <= bilstm (docs/QUALITY.md)."""
     from audioanalysisdetector_tpu.train.quality import run_surrogate_quality
 
     metrics = run_surrogate_quality(str(tmp_path))
-    assert metrics["n_train"] == 156 and metrics["n_eval"] == 240
-    assert metrics["bilstm"]["eer"] <= 0.35, metrics["bilstm"]
-    assert metrics["fused"]["eer"] <= 0.35, metrics["fused"]
-    assert metrics["fused"]["accuracy"] >= 0.6, metrics["fused"]
+    assert metrics["n_train"] == 360 and metrics["n_eval"] == 480
+    assert metrics["bilstm"]["eer"] <= 0.20, metrics["bilstm"]
+    assert metrics["fused"]["eer"] <= 0.20, metrics["fused"]
+    # the round-2 regression, permanently guarded: fusion must not be
+    # meaningfully worse than its BiLSTM arm (one EER step of slack)
+    assert metrics["fused"]["eer"] <= metrics["bilstm"]["eer"] + 1 / 240 + 1e-9, metrics
+    assert metrics["gmm"]["eer"] <= 0.35, metrics["gmm"]
+    assert metrics["fused"]["accuracy"] >= 0.8, metrics["fused"]
