@@ -13,7 +13,12 @@ import pytest
 
 from audioanalysisdetector_tpu.data.scaler import prepare_train_test_data
 from audioanalysisdetector_tpu.frontend.cqcc import CQCCConfig, cqcc, transpose_cqcc
-from audioanalysisdetector_tpu.score import eval_fused, make_fused_scorer
+from audioanalysisdetector_tpu.score import (
+    eval_fused,
+    fit_llr_calibration,
+    make_arm_scorer,
+    make_fused_scorer,
+)
 from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
 from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
 
@@ -68,10 +73,22 @@ def test_flagship_system_learns(corpus):
     _, g_gen, g_spoof = train_gmm_system(
         tr, y_tr, n_components=8, max_iter=30, model_dir="/tmp/itest_gmm_bilstm",
     )
-    scorer = make_fused_scorer(
-        result.best_state.apply_fn, {"params": result.best_state.params}, g_gen, g_spoof
-    )
+    apply_fn = result.best_state.apply_fn
+    variables = {"params": result.best_state.params}
+    # reference-literal scorer (sigmoid(LLR), 0.5/0.5): ranking must separate
+    scorer = make_fused_scorer(apply_fn, variables, g_gen, g_spoof)
     _, y_pred, fused = eval_fused(scorer, te, y_te, batch_size=16)
-    # fused system at least as discriminative as chance by a wide margin
-    assert fused["accuracy"] >= 0.8, fused
     assert fused["eer"] <= 0.25, fused
+
+    # means-only MAP leaves the LLR unsaturated, so the fixed 0.5 decision
+    # threshold can sit off-center; Platt calibration on the TRAIN split
+    # recenters the GMM arm — hard-threshold accuracy must then hold too
+    arms = make_arm_scorer(apply_fn, variables, g_gen, g_spoof)
+    _, llr_tr, _ = arms(jnp.asarray(tr))
+    scale, bias = fit_llr_calibration(np.asarray(llr_tr), y_tr)
+    cal_scorer = make_fused_scorer(
+        apply_fn, variables, g_gen, g_spoof, llr_scale=scale, llr_bias=bias
+    )
+    _, _, fused_cal = eval_fused(cal_scorer, te, y_te, batch_size=16)
+    assert fused_cal["accuracy"] >= 0.8, fused_cal
+    assert fused_cal["eer"] <= 0.25, fused_cal
