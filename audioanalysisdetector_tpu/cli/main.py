@@ -615,7 +615,19 @@ def cmd_classical(args) -> int:
     from audioanalysisdetector_tpu.train.classical import classical_main
 
     all_data = {}
-    for spec in args.dataset:
+    if args.config:
+        # reference-style config.yaml: datasets.{KEY}.{metadata, flac}
+        # (reference/train_fun.py:30-44; schema in io/config.py)
+        from audioanalysisdetector_tpu.io.config import load_config
+
+        cfg = load_config(args.config)
+        for key, block in cfg.get("datasets", {}).items():
+            flac = block["flac"]
+            all_data[key] = {
+                "metadata": block["metadata"],
+                "flac": list(flac) if isinstance(flac, list) else [flac],
+            }
+    for spec in args.dataset or []:
         try:
             key, metadata, audio_dir = spec.split(":", 2)
         except ValueError:
@@ -624,6 +636,9 @@ def cmd_classical(args) -> int:
             return 2
         entry = all_data.setdefault(key, {"metadata": metadata, "flac": []})
         entry["flac"].append(audio_dir)
+    if not all_data:
+        print("classical: provide --dataset specs and/or --config", file=sys.stderr)
+        return 2
     features = tuple(f.strip() for f in args.features.split(",") if f.strip())
     try:
         out = classical_main(
@@ -833,9 +848,14 @@ def build_parser() -> argparse.ArgumentParser:
         "-> expand -> PCA+SVC/XGB grids (reference train_fun.main)",
     )
     sp.add_argument(
-        "--dataset", action="append", required=True,
+        "--dataset", action="append", default=None,
         metavar="KEY:METADATA:AUDIO_DIR",
         help="repeatable; KEY picks the sample cap (LA 5000, others 2500)",
+    )
+    sp.add_argument(
+        "--config", default=None,
+        help="reference-style config.yaml with a datasets.{KEY}.{metadata,"
+        "flac} block (merged with --dataset specs)",
     )
     sp.add_argument("--sr", type=int, default=16000)
     sp.add_argument("--seconds", type=float, default=4.0,

@@ -206,6 +206,28 @@ def test_cli_classical(tmp_path, capsys):
     assert {"svm", "xgb"} <= set(out)
 
 
+def test_cli_classical_config_yaml(tmp_path, capsys):
+    """--config consumes the reference-style datasets.{KEY} YAML block
+    (reference/train_fun.py:30-44)."""
+    from audioanalysisdetector_tpu.data.synthetic import make_surrogate_corpus
+
+    meta, flac_dir = make_surrogate_corpus(
+        str(tmp_path / "c"), n_bonafide=8, n_spoof_per_tier=3,
+        seconds=1.5, seed=6, subset="train",
+    )
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(
+        f"datasets:\n  LA:\n    metadata: {meta}\n    flac: [{flac_dir}]\n"
+    )
+    rc = main([
+        "classical", "--config", str(cfg),
+        "--seconds", "1.5", "--features", "wpt", "--components", "4",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"svm", "xgb"} <= set(out)
+
+
 def test_cli_gridsearch_full_space(tmp_path, rng, capsys):
     """Drive the CLI through >= 2 feature sets and the reference's full
     reducer x components space (round-1 review Weak #5). Component counts
