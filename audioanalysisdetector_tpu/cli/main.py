@@ -253,11 +253,18 @@ def cmd_augment(args) -> int:
     wav = jnp.asarray(wav_np)
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.PRNGKey(args.seed)
-    variants = {
-        "noise": add_noise(wav, key, factor=args.noise_factor),
-        "pitch": pitch_shift(wav, n_steps=args.pitch_steps),
-        "shift": time_shift(wav, key),
-    }
+    # one compiled dispatch for all three variants (eager repo jnp calls
+    # dispatch op-by-op through the TPU tunnel; the phase-vocoder pitch
+    # shift alone is hundreds of ops)
+    @jax.jit
+    def make_variants(w, k):
+        return {
+            "noise": add_noise(w, k, factor=args.noise_factor),
+            "pitch": pitch_shift(w, n_steps=args.pitch_steps),
+            "shift": time_shift(w, k),
+        }
+
+    variants = make_variants(wav, key)
     for name, batch in variants.items():
         for p, y in zip(paths, np.asarray(batch)):
             base = os.path.splitext(os.path.basename(p))[0]
@@ -297,7 +304,7 @@ def cmd_train(args) -> int:
     paths, wav = _load_batch(paths, args.seconds, args.sr)
     y = _labels_from_dirnames(paths)
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
-    feats = np.asarray(log_mel_spectrogram(jnp.asarray(wav), mel_cfg))
+    feats = np.asarray(jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))(jnp.asarray(wav)))
     split = max(int(len(paths) * 0.8), 1)
     model = CNNBiLSTMHybrid(logits=True)
     variables = model.init(jax.random.PRNGKey(args.seed), jnp.asarray(feats[:1]), train=False)
@@ -343,7 +350,7 @@ def cmd_xai(args) -> int:
         print("no readable WAV files", file=sys.stderr)
         return 1
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
-    feats = log_mel_spectrogram(jnp.asarray(wav), mel_cfg)
+    feats = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))(jnp.asarray(wav))
     model = AntiSpoofingResNet()
     variables = model.init(jax.random.PRNGKey(0), feats, train=False)
 
@@ -403,43 +410,48 @@ def _eval_fused_system(
     is the GMM arm alone (LLR-ranking EER — if this is ~0.5 the arm
     contributes noise and fusion CANNOT help; see round-2 regression) and
     ``calibration`` is the (scale, bias) used (1, 0 unless ``calibrate``).
+
+    ONE device pass per split: the arms (BiLSTM prob, LLR, empty mask) are
+    the expensive part; the fused score is a host-side formula of them
+    (``score.fused.fused_scores`` computes the identical blend on device —
+    used by the streaming scorers where the arms aren't needed separately).
     """
     import jax.numpy as jnp
 
-    from audioanalysisdetector_tpu.score import (
-        eval_fused,
-        fit_llr_calibration,
-        make_arm_scorer,
-        make_fused_scorer,
-    )
+    from audioanalysisdetector_tpu.score import fit_llr_calibration, make_arm_scorer
     from audioanalysisdetector_tpu.train import metrics as M
 
     apply_fn, variables = best_state.apply_fn, {"params": best_state.params}
     arms = make_arm_scorer(apply_fn, variables, g_gen, g_spoof)
 
     def run_arms(x):
-        ps, ls = [], []
+        ps, ls, es = [], [], []
         for s in range(0, len(x), batch_size):
             xb = x[s : s + batch_size]
             nb = len(xb)
             if nb < batch_size:
                 xb = np.concatenate([xb, np.repeat(xb[-1:], batch_size - nb, axis=0)])
-            p, l, _ = arms(jnp.asarray(xb))
+            p, l, e = arms(jnp.asarray(xb))
             ps.append(np.asarray(p)[:nb])
             ls.append(np.asarray(l)[:nb])
-        return np.concatenate(ps), np.concatenate(ls)
+            es.append(np.asarray(e)[:nb])
+        return np.concatenate(ps), np.concatenate(ls), np.concatenate(es)
 
     scale, bias = 1.0, 0.0
     if calibrate:
-        _, llr_tr = run_arms(tr)
+        _, llr_tr, _ = run_arms(tr)
         scale, bias = fit_llr_calibration(llr_tr, y_tr)
-    _, llr_te = run_arms(te)
+    p_te, llr_te, empty_te = run_arms(te)
     gmm_metrics = {"eer": M.eer(y_te, llr_te)}
-    scorer = make_fused_scorer(
-        apply_fn, variables, g_gen, g_spoof,
-        weight=weight, llr_scale=scale, llr_bias=bias,
-    )
-    _, _, fused_metrics = eval_fused(scorer, te, y_te, batch_size=batch_size)
+    z = np.clip(scale * llr_te + bias, -30.0, 30.0)
+    fused = weight * p_te + (1.0 - weight) / (1.0 + np.exp(-z))
+    fused = np.where(empty_te, 0.5, fused)  # empty-sequence rule, fused.py
+    y_pred = (fused > 0.5).astype(np.int64)
+    fused_metrics = {
+        "accuracy": M.accuracy(y_te, y_pred),
+        "f1": M.f1_binary(y_te, y_pred),
+        "eer": M.eer(y_te, fused),
+    }
     return gmm_metrics, fused_metrics, (scale, bias)
 
 
@@ -458,7 +470,12 @@ def cmd_train_fused(args) -> int:
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
     y = _labels_from_dirnames(paths)
-    feats = np.asarray(transpose_cqcc(cqcc(jnp.asarray(wav), CQCCConfig.for_sr(args.sr))))
+    import jax
+
+    cfg = CQCCConfig.for_sr(args.sr)
+    feats = np.asarray(
+        jax.jit(lambda w: transpose_cqcc(cqcc(w, cfg)))(jnp.asarray(wav))
+    )
     split = max(int(len(paths) * 0.8), 2)
     os.makedirs(args.run_dir, exist_ok=True)
     tr, te, scaler = prepare_train_test_data(
@@ -563,12 +580,19 @@ def cmd_train_3features(args) -> int:
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
     y = _labels_from_dirnames(paths)
-    w = jnp.asarray(wav)
-    feats = (
-        np.asarray(cqcc(w, CQCCConfig.for_sr(args.sr))),
-        np.asarray(gfcc(w, CepstralConfig(fs=args.sr, nfilts=40, fb_kind="gammatone"))),
-        np.asarray(mfcc(w, MFCCConfig.for_sr(args.sr))),
-    )
+    # one jitted dispatch for all three frontends (eager repo jnp calls
+    # dispatch op-by-op through the TPU tunnel — minutes per batch)
+    import jax
+
+    @jax.jit
+    def featurize(w):
+        return (
+            cqcc(w, CQCCConfig.for_sr(args.sr)),
+            gfcc(w, CepstralConfig(fs=args.sr, nfilts=40, fb_kind="gammatone")),
+            mfcc(w, MFCCConfig.for_sr(args.sr)),
+        )
+
+    feats = tuple(np.asarray(f) for f in featurize(jnp.asarray(wav)))
     split = max(int(len(paths) * 0.8), 2)
     out = train_3features(
         tuple(f[:split] for f in feats), y[:split],
@@ -583,6 +607,7 @@ def cmd_train_3features(args) -> int:
 def cmd_train_mfca(args) -> int:
     """MobileNetV2+MFCA on log-mel spectrograms — the notebook's
     ``train_loop_mfca`` recipe (ASV_deep_learning.ipynb cells 29-31)."""
+    import jax
     import jax.numpy as jnp
 
     from audioanalysisdetector_tpu.frontend.mel import MelConfig, log_mel_spectrogram
@@ -595,8 +620,9 @@ def cmd_train_mfca(args) -> int:
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
     y = _labels_from_dirnames(paths)
+    mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
     feats = np.asarray(
-        log_mel_spectrogram(jnp.asarray(wav), MelConfig(sr=args.sr, n_mels=args.n_mels))
+        jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))(jnp.asarray(wav))
     )
     split = max(int(len(paths) * 0.8), 2)
     out = train_mfca(

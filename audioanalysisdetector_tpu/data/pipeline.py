@@ -123,7 +123,13 @@ def extract_feature_array(
     codes = _aug_codes_from(df, aug_col)
 
     def _finish(feats):
-        return jnp.mean(feats, axis=-1) if mean else feats
+        # mean pooling reduces the TIME axis; features with no time axis
+        # (wpt's (B, 8) band energies, reference/train_fun.py:132-138)
+        # pass through unchanged — pooling them would collapse the feature
+        # vector itself to one scalar
+        if mean and feats.ndim > 2:
+            return jnp.mean(feats, axis=-1)
+        return feats
 
     @jax.jit
     def run_plain(wav):

@@ -129,18 +129,30 @@ def fit_llr_calibration(
     """
     llrs = np.asarray(llrs, np.float64)
     y = np.asarray(y_true, np.float64)
+    n = len(y)
     a, b = 1.0, 0.0
     for _ in range(iters):
         z = np.clip(a * llrs + b, -30.0, 30.0)
         p = 1.0 / (1.0 + np.exp(-z))
         g_a, g_b = np.sum((p - y) * llrs), np.sum(p - y)
         w = np.maximum(p * (1.0 - p), 1e-6)
-        h_aa = np.sum(w * llrs * llrs) + 1e-6
-        h_bb = np.sum(w) + 1e-6
+        # N-scaled ridge keeps the Hessian well-conditioned when the LLRs
+        # are (near-)constant — an undamped step there is O(1/ridge) and the
+        # iterates explode into a saturated hard vote
+        ridge = 1e-4 * n
+        h_aa = np.sum(w * llrs * llrs) + ridge
+        h_bb = np.sum(w) + ridge
         h_ab = np.sum(w * llrs)
         det = h_aa * h_bb - h_ab * h_ab
-        a -= (h_bb * g_a - h_ab * g_b) / det
-        b -= (h_aa * g_b - h_ab * g_a) / det
+        da = (h_bb * g_a - h_ab * g_b) / det
+        db = (h_aa * g_b - h_ab * g_a) / det
+        # trust region: cap the step so one bad Hessian cannot diverge it
+        step = max(abs(da), abs(db))
+        if step > 5.0:
+            da, db = da * 5.0 / step, db * 5.0 / step
+        a, b = a - da, b - db
+        if step < 1e-10:
+            break
     return float(a), float(b)
 
 

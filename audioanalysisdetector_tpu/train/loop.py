@@ -68,7 +68,11 @@ def batch_iter(
         sel = idx[start : start + batch_size]
         true = len(sel)
         if true < batch_size and pad_tail:
-            sel = np.concatenate([sel, idx[: batch_size - true]])
+            # np.resize tiles idx cyclically, so the padded batch reaches the
+            # FULL batch_size even when the whole dataset is smaller than one
+            # batch (a short padded batch would break shard_map divisibility
+            # under data parallelism and add a second compiled shape)
+            sel = np.concatenate([sel, np.resize(idx, batch_size - true)])
         if across_processes:
             from audioanalysisdetector_tpu.parallel.mesh import process_shard
 
@@ -198,7 +202,8 @@ def fit(
             tr_loss_d = dl if tr_loss_d is None else tr_loss_d + dl
             tr_acc_d = da if tr_acc_d is None else tr_acc_d + da
             tr_n += true
-        tr_loss, tr_acc = float(tr_loss_d), float(tr_acc_d)
+        tr_loss = float(tr_loss_d) if tr_loss_d is not None else 0.0
+        tr_acc = float(tr_acc_d) if tr_acc_d is not None else 0.0
 
         va_loss_d = va_acc_d = None
         va_n = 0.0

@@ -105,6 +105,36 @@ def train_feature_model(
     }
 
 
+def _notebook_driver(
+    model, tx, tr, train_y, te, test_y, *,
+    epochs: int, batch_size: int, out_dir: str, seed: int, verbose: bool,
+) -> dict:
+    """Shared body of the notebook-cell drivers: CrossEntropy fit with the
+    run-dir artifact contract, best+final eval, metrics.json. ``tr``/``te``
+    are an array or an aligned tuple of arrays (multi-input models)."""
+    from audioanalysisdetector_tpu.train.loop import fit
+
+    first = (a[:1] for a in tr) if isinstance(tr, tuple) else (tr[:1],)
+    variables = model.init(jax.random.PRNGKey(seed), *first, train=False)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        tx=tx,
+        batch_stats=variables["batch_stats"],
+    )
+    result = fit(
+        state, (tr, train_y), (te, test_y),
+        loss_name="CrossEntropyLoss", num_epochs=epochs, batch_size=batch_size,
+        seed=seed, run_dir=out_dir, has_batch_stats=True, verbose=verbose,
+        plots=False,
+    )
+    metrics_best = evaluate(result.best_state, (te, test_y), loss_name="CrossEntropyLoss")
+    metrics_final = evaluate(result.state, (te, test_y), loss_name="CrossEntropyLoss")
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump({"best": metrics_best, "final": metrics_final}, f, indent=2)
+    return {"best": metrics_best, "final": metrics_final, "run_dir": out_dir}
+
+
 def train_3features(
     train_feats: tuple[np.ndarray, np.ndarray, np.ndarray],
     train_y: np.ndarray,
@@ -130,31 +160,14 @@ def train_3features(
     import optax
 
     from audioanalysisdetector_tpu.models.resnet import MoreFeaturesClassifier
-    from audioanalysisdetector_tpu.train.loop import fit
 
-    tr = tuple(np.asarray(a, np.float32) for a in train_feats)
-    te = tuple(np.asarray(a, np.float32) for a in test_feats)
-    model = MoreFeaturesClassifier()
-    variables = model.init(
-        jax.random.PRNGKey(seed), *(a[:1] for a in tr), train=False
+    return _notebook_driver(
+        MoreFeaturesClassifier(), optax.adam(lr),
+        tuple(np.asarray(a, np.float32) for a in train_feats), train_y,
+        tuple(np.asarray(a, np.float32) for a in test_feats), test_y,
+        epochs=epochs, batch_size=batch_size, out_dir=out_dir, seed=seed,
+        verbose=verbose,
     )
-    state = TrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
-        tx=optax.adam(lr),
-        batch_stats=variables["batch_stats"],
-    )
-    result = fit(
-        state, (tr, train_y), (te, test_y),
-        loss_name="CrossEntropyLoss", num_epochs=epochs, batch_size=batch_size,
-        seed=seed, run_dir=out_dir, has_batch_stats=True, verbose=verbose,
-        plots=False,
-    )
-    metrics_best = evaluate(result.best_state, (te, test_y), loss_name="CrossEntropyLoss")
-    metrics_final = evaluate(result.state, (te, test_y), loss_name="CrossEntropyLoss")
-    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump({"best": metrics_best, "final": metrics_final}, f, indent=2)
-    return {"best": metrics_best, "final": metrics_final, "run_dir": out_dir}
 
 
 def train_mfca(
@@ -178,30 +191,16 @@ def train_mfca(
     import optax
 
     from audioanalysisdetector_tpu.models.mobilenet_mfca import MobileNetMFCA
-    from audioanalysisdetector_tpu.train.loop import fit
 
-    tr = np.asarray(train_x, np.float32)
-    te = np.asarray(test_x, np.float32)
-    model = MobileNetMFCA()
-    variables = model.init(jax.random.PRNGKey(seed), tr[:1], train=False)
-    state = TrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"],
+    return _notebook_driver(
+        MobileNetMFCA(),
         # torch Adam weight_decay = L2 added to the gradient (not decoupled)
-        tx=optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr)),
-        batch_stats=variables["batch_stats"],
+        optax.chain(optax.add_decayed_weights(weight_decay), optax.adam(lr)),
+        np.asarray(train_x, np.float32), train_y,
+        np.asarray(test_x, np.float32), test_y,
+        epochs=epochs, batch_size=batch_size, out_dir=out_dir, seed=seed,
+        verbose=verbose,
     )
-    result = fit(
-        state, (tr, train_y), (te, test_y),
-        loss_name="CrossEntropyLoss", num_epochs=epochs, batch_size=batch_size,
-        seed=seed, run_dir=out_dir, has_batch_stats=True, verbose=verbose,
-        plots=False,
-    )
-    metrics_best = evaluate(result.best_state, (te, test_y), loss_name="CrossEntropyLoss")
-    metrics_final = evaluate(result.state, (te, test_y), loss_name="CrossEntropyLoss")
-    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump({"best": metrics_best, "final": metrics_final}, f, indent=2)
-    return {"best": metrics_best, "final": metrics_final, "run_dir": out_dir}
 
 
 def train_all_features(

@@ -186,7 +186,23 @@ def test_cli_xai_html_report(corpus, tmp_path, capsys):
     assert "data:image/png;base64," in doc and "score" in doc
 
 
-@pytest.mark.slow
+def test_cli_train_3features(corpus, tmp_path, capsys):
+    rc = main(["train-3features", corpus, "--epochs", "1", "--batch-size", "4",
+               "--run-dir", str(tmp_path / "mf")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"accuracy", "f1", "eer"} <= set(out)
+    assert os.path.exists(tmp_path / "mf" / "metrics.json")
+
+
+def test_cli_train_mfca(corpus, tmp_path, capsys):
+    rc = main(["train-mfca", corpus, "--epochs", "1", "--batch-size", "4",
+               "--run-dir", str(tmp_path / "mfca")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {"accuracy", "f1", "eer"} <= set(out)
+
+
 def test_cli_classical(tmp_path, capsys):
     """The metadata-driven classical command end-to-end on a tiny surrogate
     corpus (reference/train_fun.py:305-403 equivalent)."""
@@ -228,6 +244,7 @@ def test_cli_classical_config_yaml(tmp_path, capsys):
     assert {"svm", "xgb"} <= set(out)
 
 
+@pytest.mark.slow
 def test_cli_gridsearch_full_space(tmp_path, rng, capsys):
     """Drive the CLI through >= 2 feature sets and the reference's full
     reducer x components space (round-1 review Weak #5). Component counts

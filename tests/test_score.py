@@ -109,6 +109,28 @@ def test_cqcc_fused_scorer_e2e(rng):
     assert ((out > 0) & (out < 1)).all()
 
 
+def test_llr_calibration_degenerate_input_stays_bounded(rng):
+    """Near-constant LLRs with mixed labels must not explode the Newton
+    solver (ill-conditioned Hessian); the fit should stay bounded and
+    produce a near-0.5 probability, not a saturated hard vote."""
+    from audioanalysisdetector_tpu.score import fit_llr_calibration
+
+    llrs = np.full(64, 0.37) + 1e-9 * rng.standard_normal(64)
+    y = rng.integers(0, 2, 64)
+    a, b = fit_llr_calibration(llrs, y)
+    assert np.isfinite(a) and np.isfinite(b)
+    assert abs(a) < 1e3 and abs(b) < 1e3, (a, b)
+    p = 1 / (1 + np.exp(-np.clip(a * llrs + b, -30, 30)))
+    assert np.all(np.abs(p - y.mean()) < 0.2)  # calibrated to the base rate
+
+    # and on separable input it still finds a separating calibration
+    llrs2 = np.concatenate([rng.normal(-2, 0.5, 50), rng.normal(2, 0.5, 50)])
+    y2 = np.concatenate([np.zeros(50, int), np.ones(50, int)])
+    a2, b2 = fit_llr_calibration(llrs2, y2)
+    p2 = 1 / (1 + np.exp(-(a2 * llrs2 + b2)))
+    assert ((p2 > 0.5) == y2.astype(bool)).mean() > 0.95
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 

@@ -67,10 +67,13 @@ def test_extract_features_formants_column(tmp_path, rng):
     df["chunk_start"], df["chunk_end"] = 0.0, 1.0
     out = extract_features(df, ["formants", "wpt"], sr=16000, mean=True)
     assert all(isinstance(c, dict) and len(c) == 10 for c in out["formants"])
+    # wpt has NO time axis: mean=True must not collapse its 8 band energies
+    # (reference extract_wpt returns the 8-vector, reference/train_fun.py:132-138)
+    assert all(np.asarray(c).shape == (8,) for c in out["wpt"])
     expanded = expand_feature_columns(out, ["formants", "wpt"], "label")
     assert "formants_silence_ratio" in expanded.columns
     assert "formants_vtl_total_duration" in expanded.columns
-    assert "wpt_0" in expanded.columns and len(expanded) == 3
+    assert {"wpt_0", "wpt_7"} <= set(expanded.columns) and len(expanded) == 3
 
 
 def test_classical_main_end_to_end(tmp_path):

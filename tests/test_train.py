@@ -142,6 +142,22 @@ def test_fit_dp_matches_single_device(rng, tmp_path):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-2, atol=1e-4)
 
 
+def test_fit_dp_dataset_smaller_than_batch(rng):
+    """A dataset smaller than one batch must still yield FULL tail-padded
+    batches (idx tiled cyclically) or shard_map divisibility breaks —
+    e.g. 6 rows at batch 16 over 8 devices previously emitted a 12-row
+    batch."""
+    x, y = _toy_data(rng, n=6)
+    model = CNNBiLSTMHybrid(
+        fixed_attention=True, logits=True, conv_dropout=0.0, dropout_rate=0.0,
+        bn_axis_name="data",
+    )
+    state = _make_state(model, x)
+    res = fit(state, (x, y), (x, y), batch_size=16, data_parallel=True,
+              loss_name="BCELoss", binary_head=True, num_epochs=1, plots=False)
+    assert len(res.logs) == 1 and np.isfinite(res.logs[0].train_loss)
+
+
 def test_fit_dp_validates_batch_divisibility():
     import jax.numpy as jnp  # noqa: F401
 
