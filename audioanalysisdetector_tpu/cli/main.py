@@ -40,87 +40,14 @@ def _collect_wavs(path: str) -> list[str]:
 
 
 def _stream_score_batches(paths, seconds, sr, batch_size):
-    """Yield (kept_paths, (batch_size, n) float32) decode batches.
+    """Streaming decode batches — thin alias of the public library API
+    (``score.streaming.stream_decode_batches``): producer-thread native
+    decode overlapping device compute, cancellation-safe teardown."""
+    from audioanalysisdetector_tpu.score.streaming import stream_decode_batches
 
-    Production streaming shape: the native threaded decoder (io/native_loader,
-    WAV + in-repo FLAC) fills each batch on a PRODUCER thread so decode
-    overlaps the consumer's device compute; unreadable rows are dropped with
-    a warning (the reference's failure->skip policy); the tail batch is
-    padded to the fixed batch size so the scorer compiles exactly once.
-    """
-    import queue
-    import threading
-
-    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
-
-    q: queue.Queue = queue.Queue(maxsize=2)
-    cancel = threading.Event()  # set by the consumer's finally: stop producing
-
-    def _put(item) -> bool:
-        """Bounded put that gives up when the consumer is gone — a dead
-        consumer must never leave the producer parked on a full queue
-        (round-2 review Weak #5)."""
-        while not cancel.is_set():
-            try:
-                q.put(item, timeout=0.2)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def producer():
-        # any failure MUST still unblock the consumer: the sentinel goes out
-        # via finally, and an exception is forwarded through the queue
-        try:
-            for i in range(0, len(paths), batch_size):
-                if cancel.is_set():
-                    return
-                chunk = paths[i : i + batch_size]
-                out, ok = load_chunk_batch_native(
-                    chunk,
-                    [0.0] * len(chunk),
-                    [float(seconds)] * len(chunk),
-                    sr=sr,
-                    return_ok=True,
-                )
-                for p, good in zip(chunk, ok):
-                    if not good:
-                        print(f"WARNING: cannot read {p}: skipped", file=sys.stderr)
-                kept = [p for p, good in zip(chunk, ok) if good]
-                out = out[ok]
-                if len(kept) == 0:
-                    continue
-                if out.shape[0] < batch_size:  # pad tail; extra rows are ignored
-                    out = np.concatenate(
-                        [out, np.repeat(out[-1:], batch_size - out.shape[0], axis=0)]
-                    )
-                if not _put((kept, out)):
-                    return
-        except BaseException as e:  # noqa: BLE001 — forwarded to the consumer
-            _put(e)
-        finally:
-            _put(None)
-
-    th = threading.Thread(target=producer, daemon=True)
-    th.start()
-    try:
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        # runs on normal exhaustion, consumer exceptions, AND abandoned
-        # generators (GeneratorExit): wake any blocked put, drain, reap
-        cancel.set()
-        try:
-            while True:
-                q.get_nowait()
-        except queue.Empty:
-            pass
-        th.join(timeout=10.0)
+    return stream_decode_batches(
+        paths, seconds=seconds, sr=sr, batch_size=batch_size
+    )
 
 
 def _load_batch(paths: list[str], seconds: float, sr: int) -> tuple[list[str], np.ndarray]:
@@ -180,23 +107,14 @@ def cmd_score(args) -> int:
             "params": payload["params"],
             "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
         }
+    from audioanalysisdetector_tpu.score.streaming import score_paths
+
     scorer = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
-    # streaming: decode on a producer thread (native loader), score fixed
-    # batches on device, fetch all score vectors at the end so uploads and
-    # compute overlap without per-batch host sync
-    pending: list[tuple[list[str], object]] = []
-    for kept, batch_np in _stream_score_batches(
-        paths, args.seconds, args.sr, args.batch_size
-    ):
-        pending.append((kept, scorer(jnp.asarray(batch_np))))
-    for kept, dev_scores in pending:
-        scores = np.asarray(dev_scores)[: len(kept)]
-        for p, s in zip(kept, scores):
-            print(
-                json.dumps(
-                    {"file": p, "spoof_score": float(s), "label": int(s > 0.5)}
-                )
-            )
+    kept, scores = score_paths(
+        scorer, paths, seconds=args.seconds, sr=args.sr, batch_size=args.batch_size
+    )
+    for p, s in zip(kept, scores):
+        print(json.dumps({"file": p, "spoof_score": float(s), "label": int(s > 0.5)}))
     return 0
 
 

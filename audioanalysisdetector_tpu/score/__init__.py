@@ -5,6 +5,10 @@ from audioanalysisdetector_tpu.score.e2e import (
     make_mel_cnn_bilstm_scorer,
     melspec_features,
 )
+from audioanalysisdetector_tpu.score.streaming import (
+    score_paths,
+    stream_decode_batches,
+)
 from audioanalysisdetector_tpu.score.fused import (
     arm_scores,
     eval_fused,
@@ -26,4 +30,6 @@ __all__ = [
     "make_mel_cnn_bilstm_scorer",
     "melspec_features",
     "padding_mask",
+    "score_paths",
+    "stream_decode_batches",
 ]
