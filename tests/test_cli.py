@@ -186,6 +186,20 @@ def test_cli_xai_html_report(corpus, tmp_path, capsys):
     assert "data:image/png;base64," in doc and "score" in doc
 
 
+def test_cli_speech_mel_profile_train_then_score(corpus, tmp_path, capsys):
+    """--mel-profile speech must carry consistently from train to score
+    (32 ms/16 ms resolution; frontend.mel.MelConfig.for_speech)."""
+    run_dir = str(tmp_path / "run")
+    assert main(["train", corpus, "--epochs", "1", "--batch-size", "4",
+                 "--mel-profile", "speech", "--run-dir", run_dir]) == 0
+    capsys.readouterr()
+    ckpt = os.path.join(run_dir, "best_model.msgpack")
+    assert main(["score", corpus, "--checkpoint", ckpt,
+                 "--mel-profile", "speech"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 12
+
+
 def test_cli_train_3features(corpus, tmp_path, capsys):
     rc = main(["train-3features", corpus, "--epochs", "1", "--batch-size", "4",
                "--run-dir", str(tmp_path / "mf")])
