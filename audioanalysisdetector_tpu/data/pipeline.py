@@ -102,6 +102,24 @@ def _aug_codes_from(df: pd.DataFrame, aug_col: str) -> np.ndarray:
     )
 
 
+def _batch_sharding(batch_size: int):
+    """Batch-axis sharding over all local devices, when it divides evenly.
+
+    Featurization is per-row, so plain input sharding makes the jitted
+    extractor an SPMD program over the mesh — no collectives, no shard_map;
+    the pipeline then ingests at N-chip rate on a pod (SURVEY.md §2.6's
+    replacement for the reference's joblib fan-out). None on one device.
+    """
+    n_dev = jax.local_device_count()
+    if n_dev <= 1 or batch_size % n_dev != 0 or batch_size < n_dev:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from audioanalysisdetector_tpu.parallel.mesh import make_mesh
+
+    return NamedSharding(make_mesh(n_dev, axis="data"), PartitionSpec("data"))
+
+
 def extract_feature_array(
     df: pd.DataFrame,
     feature_fn: Callable,
@@ -116,11 +134,15 @@ def extract_feature_array(
     """((len(df), ...) features, (len(df),) ok-mask), batched through the
     device. Rows whose audio could not be decoded carry zero features and
     ``ok=False`` — the reference's failure->None policy, applied by
-    ``extract_features`` as None cells for ``filtr_nan`` to drop."""
+    ``extract_features`` as None cells for ``filtr_nan`` to drop.
+
+    With multiple local devices, full batches are sharded over the batch
+    axis (``_batch_sharding``) and extraction runs data-parallel."""
     paths = df[path_col].tolist()
     starts = df.get("chunk_start", pd.Series([0.0] * len(df))).tolist()
     ends = df.get("chunk_end", pd.Series([2.0] * len(df))).tolist()
     codes = _aug_codes_from(df, aug_col)
+    sharding = _batch_sharding(batch_size)
 
     def _finish(feats):
         # mean pooling reduces the TIME axis; features with no time axis
@@ -155,11 +177,17 @@ def extract_feature_array(
             )
         aug = np.zeros(batch_size, np.int32)
         aug[:true] = codes[lo:hi]
+        wav_dev = (
+            jax.device_put(wav, sharding) if sharding is not None else jnp.asarray(wav)
+        )
         if aug.any():
             key, sub = jax.random.split(key)
-            feats = run_augmented(jnp.asarray(wav), jnp.asarray(aug), sub)
+            aug_dev = (
+                jax.device_put(aug, sharding) if sharding is not None else jnp.asarray(aug)
+            )
+            feats = run_augmented(wav_dev, aug_dev, sub)
         else:
-            feats = run_plain(jnp.asarray(wav))
+            feats = run_plain(wav_dev)
         outs.append(np.asarray(feats)[:true])
         oks.append(ok)
     if not outs:

@@ -139,6 +139,28 @@ def test_extract_features_dataframe_contract(corpus):
     assert len(out) == len(df)
 
 
+def test_extract_features_sharded_matches_single_device(corpus):
+    """Batch-sharded extraction over the 8-virtual-device mesh must equal
+    the single-device result exactly (featurization is per-row; input
+    sharding makes it SPMD with no collectives — data/pipeline.py)."""
+    import jax
+
+    from audioanalysisdetector_tpu.data.pipeline import _batch_sharding
+
+    _, meta, audio_dir = corpus
+    df = chunk_rows(
+        prepare_filepaths(read_metadata(meta), audio_dir, extension=".wav"),
+        verbose=False,
+    )
+    assert jax.local_device_count() == 8
+    assert _batch_sharding(8) is not None  # divisible -> sharded path
+    assert _batch_sharding(6) is None  # not divisible -> single-device
+    sharded = extract_features(df, ["mfcc"], batch_size=8)
+    plain = extract_features(df, ["mfcc"], batch_size=7)  # 7 % 8 != 0
+    for a, b in zip(sharded["mfcc"], plain["mfcc"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_balance_funcs(rng):
     df = pd.DataFrame({"label_num": [0] * 10 + [1] * 4, "v": range(14)})
     up = balance_upsample(df)
