@@ -253,6 +253,14 @@ def fit_em(
     k-means subsample and per-iteration scalars ever cross the interconnect
     (the training orchestration uploads frames ONCE and reuses the buffer
     for MAP adaptation; see ``train/gmm_system.py``).
+
+    Multi-chip: pass ``x`` sharded over the frame axis
+    (``jax.device_put(x, NamedSharding(mesh, P("data")))``) and the EM runs
+    data-parallel — the flat step is GEMMs + frame-axis reductions, so
+    GSPMD partitions it and inserts the psums; no shard_map needed
+    (verified equal to the single-device fit on the 8-device CPU mesh,
+    tests/test_sharded_gmm.py). ``map_adapt`` accepts the same sharded
+    buffer.
     """
     on_device = isinstance(x, jax.Array)
     if on_device:
