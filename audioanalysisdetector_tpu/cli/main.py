@@ -13,6 +13,7 @@ Subcommands map onto BASELINE.json's five runnable configs:
   train-mfca     MobileNetV2+MFCA on log-mel (notebook cells 29-31)
   gridsearch     classical SVM/XGB sweep over expanded scalar features
   classical      metadata-driven classical pipeline (6 features incl. formants)
+  serve          HTTP scoring service: dynamic micro-batching in front of the chip
 
 All paths accept a directory of WAV/FLAC files or a glob. Everything is CPU-runnable
 (slow) and TPU-native (fast) with the same code.
@@ -346,7 +347,11 @@ def _eval_fused_system(
     """
     import jax.numpy as jnp
 
-    from audioanalysisdetector_tpu.score import fit_llr_calibration, make_arm_scorer
+    from audioanalysisdetector_tpu.score import (
+        fit_decision_threshold,
+        fit_llr_calibration,
+        make_arm_scorer,
+    )
     from audioanalysisdetector_tpu.train import metrics as M
 
     apply_fn, variables = best_state.apply_fn, {"params": best_state.params}
@@ -365,21 +370,34 @@ def _eval_fused_system(
             es.append(np.asarray(e)[:nb])
         return np.concatenate(ps), np.concatenate(ls), np.concatenate(es)
 
+    def blend(p, llr, empty):
+        z = np.clip(scale * llr + bias, -30.0, 30.0)
+        f = weight * p + (1.0 - weight) / (1.0 + np.exp(-z))
+        return np.where(empty, 0.5, f)  # empty-sequence rule, fused.py
+
     scale, bias = 1.0, 0.0
+    op_threshold = 0.5  # the reference's decision contract
     if calibrate:
-        _, llr_tr, _ = run_arms(tr)
+        p_tr, llr_tr, empty_tr = run_arms(tr)
         scale, bias = fit_llr_calibration(llr_tr, y_tr)
+        # operating point from the TRAIN split: with calibrated but
+        # asymmetric arms the fused score can rank perfectly while the
+        # fixed 0.5 line sits off-center (score.fused.fit_decision_threshold)
+        op_threshold = fit_decision_threshold(blend(p_tr, llr_tr, empty_tr), y_tr)
     p_te, llr_te, empty_te = run_arms(te)
     gmm_metrics = {"eer": M.eer(y_te, llr_te)}
-    z = np.clip(scale * llr_te + bias, -30.0, 30.0)
-    fused = weight * p_te + (1.0 - weight) / (1.0 + np.exp(-z))
-    fused = np.where(empty_te, 0.5, fused)  # empty-sequence rule, fused.py
+    fused = blend(p_te, llr_te, empty_te)
     y_pred = (fused > 0.5).astype(np.int64)
     fused_metrics = {
         "accuracy": M.accuracy(y_te, y_pred),
         "f1": M.f1_binary(y_te, y_pred),
         "eer": M.eer(y_te, fused),
     }
+    if calibrate:
+        y_op = (fused > op_threshold).astype(np.int64)
+        fused_metrics["op_threshold"] = float(op_threshold)
+        fused_metrics["accuracy_at_op"] = M.accuracy(y_te, y_op)
+        fused_metrics["f1_at_op"] = M.f1_binary(y_te, y_op)
     return gmm_metrics, fused_metrics, (scale, bias)
 
 
@@ -612,6 +630,56 @@ def cmd_classical(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP scoring service: dynamic micro-batching in front of the chip
+    (serve/server.py). Warm up the compile, bind, serve until SIGINT."""
+    from audioanalysisdetector_tpu.serve import BatchingScorer, ScoreServer, build_mel_scorer
+
+    if not args.checkpoint and not args.allow_random:
+        print(
+            "serve: no --checkpoint given — scores from randomly initialized "
+            "weights are meaningless. Pass --checkpoint <best_model.msgpack>, "
+            "or --allow-random to proceed anyway (smoke tests only).",
+            file=sys.stderr,
+        )
+        return 2
+    scorer, n_samples = build_mel_scorer(
+        checkpoint=args.checkpoint,
+        sr=args.sr,
+        seconds=args.seconds,
+        n_mels=args.n_mels,
+        mel_profile=args.mel_profile,
+    )
+    # compile before accepting traffic so the first request isn't a 30 s+
+    # cold-compile hostage (one fixed shape -> this is the only compile)
+    scorer(np.zeros((args.max_batch, n_samples), np.float32))
+    batcher = BatchingScorer(
+        scorer,
+        n_samples=n_samples,
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+    )
+    server = ScoreServer(batcher, sr=args.sr, host=args.host, port=args.port)
+    print(
+        json.dumps(
+            {
+                "listening": f"http://{args.host}:{server.port}",
+                "endpoints": ["/v1/score", "/v1/stats", "/healthz"],
+                "max_batch": args.max_batch,
+                "n_samples": n_samples,
+            }
+        ),
+        flush=True,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.close()
+    return 0
+
+
 def cmd_gridsearch(args) -> int:
     from audioanalysisdetector_tpu.data.pipeline import extract_features
     from audioanalysisdetector_tpu.train.classical import (
@@ -786,6 +854,31 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lr", type=float, default=1e-4)
     sp.add_argument("--run-dir", default="runs/MobileNet-MFCA")
     sp.set_defaults(fn=cmd_train_mfca)
+
+    sp = sub.add_parser(
+        "serve", help="HTTP scoring service with dynamic micro-batching"
+    )
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=8710)
+    sp.add_argument("--sr", type=int, default=16000)
+    sp.add_argument("--seconds", type=float, default=2.0)
+    sp.add_argument("--n-mels", type=int, default=64)
+    mel_profile_flag(sp)
+    sp.add_argument(
+        "--max-batch", type=int, default=256,
+        help="device dispatch rows (the service's single compiled shape)",
+    )
+    sp.add_argument(
+        "--max-wait-ms", type=float, default=5.0,
+        help="micro-batching window: lone requests ship after this; bursts "
+        "ship when the row budget fills",
+    )
+    sp.add_argument("--checkpoint", default=None)
+    sp.add_argument(
+        "--allow-random", action="store_true",
+        help="serve randomly initialized weights (smoke tests only)",
+    )
+    sp.set_defaults(fn=cmd_serve)
 
     sp = sub.add_parser("gridsearch", help="classical SVM/XGB sweep")
     common(sp)

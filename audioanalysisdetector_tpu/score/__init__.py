@@ -12,6 +12,7 @@ from audioanalysisdetector_tpu.score.streaming import (
 from audioanalysisdetector_tpu.score.fused import (
     arm_scores,
     eval_fused,
+    fit_decision_threshold,
     fit_llr_calibration,
     fused_scores,
     make_arm_scorer,
@@ -22,6 +23,7 @@ from audioanalysisdetector_tpu.score.fused import (
 __all__ = [
     "arm_scores",
     "eval_fused",
+    "fit_decision_threshold",
     "fit_llr_calibration",
     "fused_scores",
     "make_arm_scorer",

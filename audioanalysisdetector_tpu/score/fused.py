@@ -156,6 +156,32 @@ def fit_llr_calibration(
     return float(a), float(b)
 
 
+def fit_decision_threshold(scores: np.ndarray, y_true: np.ndarray) -> float:
+    """Operating threshold at the EER point of a labeled split (host-side).
+
+    The reference hard-codes 0.5 (reference/ASV_dl_func.py:1491) — kept as
+    the default decision contract everywhere. Real deployments pick the
+    operating point on a development split instead: with calibrated but
+    asymmetric arms the fused score can rank perfectly (EER 0) while the
+    fixed 0.5 line sits off-center. Returns the candidate threshold
+    minimizing |FPR − FNR| (ties broken toward lower total error), swept
+    over midpoints between adjacent distinct scores.
+    """
+    s = np.asarray(scores, np.float64)
+    y = np.asarray(y_true)
+    neg, pos = s[y == 0], s[y == 1]
+    if len(neg) == 0 or len(pos) == 0:
+        return 0.5
+    uniq = np.unique(s)
+    cands = np.concatenate(
+        [[uniq[0] - 1.0], (uniq[:-1] + uniq[1:]) / 2.0, [uniq[-1] + 1.0]]
+    )
+    fpr = (neg[None, :] > cands[:, None]).mean(axis=1)
+    fnr = (pos[None, :] <= cands[:, None]).mean(axis=1)
+    best = np.lexsort((fpr + fnr, np.abs(fpr - fnr)))[0]
+    return float(cands[best])
+
+
 def eval_fused(
     scorer: Callable,
     x: np.ndarray,

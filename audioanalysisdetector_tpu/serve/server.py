@@ -1,0 +1,457 @@
+"""Online scoring service — dynamic micro-batching in front of one chip (L7+).
+
+The reference has no serving story: its scoring entry point is a notebook
+loop with one host<->device round trip per utterance
+(reference/ASV_dl_func.py:1467-1515, ~201 utt/s). This module is the
+production counterpart for a TPU chip: an HTTP scoring service whose core
+is a dynamic micro-batcher that aggregates concurrent requests into ONE
+fixed-shape device dispatch.
+
+TPU-first design decisions:
+
+- **One compiled shape.** Every dispatch is the full ``(max_batch,
+  n_samples)`` tensor — partial batches are zero-padded rows sliced off on
+  the way out — so the jitted scorer compiles exactly once and the MXU
+  always sees its preferred large GEMMs. (A per-request shape would
+  recompile per arrival pattern; a bucket ladder is not worth it when
+  padding rows are nearly free at these model sizes.)
+- **A single device-worker thread owns dispatch.** XLA programs on one
+  chip serialize anyway; funnelling all requests through one worker keeps
+  dispatch ordered and makes the batching window deterministic. HTTP
+  threads only parse/decode/validate, so host-side decode of concurrent
+  requests overlaps device compute — the online analogue of the offline
+  streaming scorer (score/streaming.py).
+- **Micro-batching window** (``max_wait_ms``) trades tail latency for MXU
+  occupancy: a lone request ships when the window closes; a burst fills
+  the row budget and ships early. Backpressure is a bounded queue —
+  when it is full the service answers 503 instead of queueing unbounded
+  work in front of a saturated chip.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import tempfile
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+import numpy as np
+
+__all__ = [
+    "BatchingScorer",
+    "ScoreServer",
+    "ServiceOverloaded",
+    "build_mel_scorer",
+]
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised when the request queue is full (mapped to HTTP 503)."""
+
+
+@dataclass
+class ServeStats:
+    """Counters exposed at ``GET /v1/stats`` (all monotonically increasing)."""
+
+    requests: int = 0
+    utterances: int = 0
+    batches: int = 0
+    batch_rows: int = 0  # non-padding rows dispatched; fill = batch_rows/(batches*max_batch)
+    rejected: int = 0
+    errors: int = 0
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def snapshot(self, max_batch: int) -> dict:
+        with self._lock:
+            fill = (
+                self.batch_rows / (self.batches * max_batch) if self.batches else 0.0
+            )
+            return {
+                "requests": self.requests,
+                "utterances": self.utterances,
+                "batches": self.batches,
+                "mean_batch_fill": round(fill, 4),
+                "rejected": self.rejected,
+                "errors": self.errors,
+            }
+
+
+class _Pending:
+    """One enqueued request slice: ``wav`` rows in, scores (or an error) out."""
+
+    __slots__ = ("wav", "done", "result", "error")
+
+    def __init__(self, wav: np.ndarray):
+        self.wav = wav
+        self.done = threading.Event()
+        self.result: np.ndarray | None = None
+        self.error: BaseException | None = None
+
+
+class BatchingScorer:
+    """Dynamic micro-batcher around a jitted ``(B, n) -> (B,)`` scorer.
+
+    ``scorer`` is any callable taking a ``(max_batch, n_samples)`` float32
+    array and returning ``(max_batch,)`` scores (``score.e2e`` factories
+    produce these). ``score()`` is thread-safe and blocks until the worker
+    has dispatched the rows and fetched the results.
+    """
+
+    def __init__(
+        self,
+        scorer: Callable[[np.ndarray], np.ndarray],
+        *,
+        n_samples: int,
+        max_batch: int = 256,
+        max_wait_ms: float = 5.0,
+        queue_depth: int = 64,
+    ):
+        import queue as _queue
+
+        self._scorer = scorer
+        self.n_samples = int(n_samples)
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.stats = ServeStats()
+        self._q: "_queue.Queue[_Pending | None]" = _queue.Queue(maxsize=queue_depth)
+        self._carry: _Pending | None = None  # overflow item held for the next batch
+        self._stop = threading.Event()
+        self._worker = threading.Thread(
+            target=self._run, name="batching-scorer", daemon=True
+        )
+        self._worker.start()
+
+    # ---- client side -----------------------------------------------------
+
+    def score(self, wav: np.ndarray, *, timeout: float = 60.0) -> np.ndarray:
+        """Score ``(k, n_samples)`` (or ``(n_samples,)``) rows; returns ``(k,)``.
+
+        Requests larger than ``max_batch`` are split into consecutive
+        dispatch slices transparently. Raises :class:`ServiceOverloaded`
+        when the bounded queue is full, ``TimeoutError`` past ``timeout``.
+        """
+        import queue as _queue
+
+        wav = np.asarray(wav, dtype=np.float32)
+        if wav.ndim == 1:
+            wav = wav[None, :]
+        if wav.ndim != 2 or wav.shape[1] != self.n_samples:
+            raise ValueError(
+                f"expected (k, {self.n_samples}) waveform rows, got {wav.shape}"
+            )
+        if self._stop.is_set():
+            raise RuntimeError("BatchingScorer is closed")
+        slices = [
+            _Pending(wav[i : i + self.max_batch])
+            for i in range(0, len(wav), self.max_batch)
+        ]
+        for p in slices:
+            try:
+                self._q.put(p, timeout=0.5)
+            except _queue.Full:
+                with self.stats._lock:
+                    self.stats.rejected += 1
+                raise ServiceOverloaded(
+                    "request queue full — the chip is saturated; retry with backoff"
+                ) from None
+        with self.stats._lock:
+            self.stats.requests += 1
+            self.stats.utterances += len(wav)
+        deadline = time.monotonic() + timeout
+        for p in slices:
+            if not p.done.wait(max(0.0, deadline - time.monotonic())):
+                raise TimeoutError(f"scoring timed out after {timeout}s")
+            if p.error is not None:
+                raise p.error
+        return np.concatenate([p.result for p in slices])
+
+    def close(self) -> None:
+        """Stop the worker; in-flight requests finish, new ones are refused."""
+        if not self._stop.is_set():
+            self._stop.set()
+            self._q.put(None)  # wake the worker
+            self._worker.join(timeout=30.0)
+
+    # ---- device worker ---------------------------------------------------
+
+    def _collect(self) -> list[_Pending] | None:
+        """Block for the first item, then gather rows until the window
+        closes or the row budget fills. Returns None on shutdown wake."""
+        import queue as _queue
+
+        if self._carry is not None:
+            first, self._carry = self._carry, None
+        else:
+            first = self._q.get()
+            if first is None:
+                return None
+        batch = [first]
+        rows = len(first.wav)
+        deadline = time.monotonic() + self.max_wait_s
+        while rows < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                item = self._q.get(timeout=remaining)
+            except _queue.Empty:
+                break
+            if item is None:  # shutdown sentinel: ship what we have
+                self._stop.set()
+                break
+            if rows + len(item.wav) > self.max_batch:
+                self._carry = item  # starts the next batch
+                break
+            batch.append(item)
+            rows += len(item.wav)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            rows = sum(len(p.wav) for p in batch)
+            mat = np.zeros((self.max_batch, self.n_samples), dtype=np.float32)
+            off = 0
+            for p in batch:
+                mat[off : off + len(p.wav)] = p.wav
+                off += len(p.wav)
+            try:
+                scores = np.asarray(self._scorer(mat)).reshape(-1)
+                off = 0
+                for p in batch:
+                    p.result = scores[off : off + len(p.wav)].copy()
+                    off += len(p.wav)
+                with self.stats._lock:
+                    self.stats.batches += 1
+                    self.stats.batch_rows += rows
+            except BaseException as e:  # noqa: BLE001 — delivered per-request
+                for p in batch:
+                    p.error = e
+                with self.stats._lock:
+                    self.stats.errors += 1
+            finally:
+                for p in batch:
+                    p.done.set()
+            if self._stop.is_set() and self._carry is None and self._q.empty():
+                return
+
+
+def _decode_b64_audio(b64: str, fmt: str, sr: int) -> np.ndarray:
+    """base64 WAV/FLAC bytes -> float32 mono waveform at ``sr``.
+
+    The in-repo decoders are path-based (they exist to serve corpus files),
+    so uploads round-trip through a temp file — negligible next to decode
+    itself, and it keeps one decode implementation.
+    """
+    from audioanalysisdetector_tpu.io.audio import load_audio
+
+    fmt = fmt.lower().lstrip(".")
+    if fmt not in ("wav", "flac"):
+        raise ValueError(f"unsupported audio format {fmt!r} (wav|flac)")
+    raw = base64.b64decode(b64, validate=True)
+    fd, path = tempfile.mkstemp(suffix="." + fmt)
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(raw)
+        y, _ = load_audio(path, sr=sr)
+    finally:
+        os.unlink(path)
+    return y
+
+
+def _fit_rows(y: np.ndarray, n_samples: int) -> np.ndarray:
+    """Pad/crop 1-D or 2-D PCM to the service's fixed row length."""
+    y = np.atleast_2d(np.asarray(y, dtype=np.float32))
+    if y.ndim != 2:
+        raise ValueError(f"pcm must be 1-D or 2-D, got ndim={y.ndim}")
+    out = np.zeros((y.shape[0], n_samples), dtype=np.float32)
+    n = min(y.shape[1], n_samples)
+    out[:, :n] = y[:, :n]
+    return out
+
+
+class ScoreServer:
+    """Threaded HTTP front end over a :class:`BatchingScorer`.
+
+    Endpoints (JSON in/out):
+
+    - ``POST /v1/score`` — body either ``{"pcm": [[...]...]}`` (float rows
+      at the service sample rate; padded/cropped to the chunk length) or
+      ``{"audio_b64": "...", "format": "wav"|"flac"}`` (decoded +
+      resampled host-side). Response ``{"scores": [...], "labels": [...]}``
+      with the reference's 0.5 decision threshold
+      (reference/ASV_dl_func.py:1491).
+    - ``GET /healthz`` — liveness + the service's fixed-shape contract.
+    - ``GET /v1/stats`` — batching counters (see :class:`ServeStats`).
+    """
+
+    MAX_BODY = 256 * 1024 * 1024
+
+    def __init__(
+        self,
+        batcher: BatchingScorer,
+        *,
+        sr: int,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        request_timeout: float = 60.0,
+    ):
+        self.batcher = batcher
+        self.sr = int(sr)
+        self.request_timeout = float(request_timeout)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet by default; stats carry the signal
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, outer._health())
+                elif self.path == "/v1/stats":
+                    self._reply(
+                        200, outer.batcher.stats.snapshot(outer.batcher.max_batch)
+                    )
+                else:
+                    self._reply(404, {"error": f"no route {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/v1/score":
+                    self._reply(404, {"error": f"no route {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    if length > outer.MAX_BODY:
+                        self._reply(413, {"error": "body too large"})
+                        return
+                    req = json.loads(self.rfile.read(length))
+                    rows = outer._rows_from_request(req)
+                    scores = outer.batcher.score(
+                        rows, timeout=outer.request_timeout
+                    )
+                except ServiceOverloaded as e:
+                    self._reply(503, {"error": str(e)})
+                except TimeoutError as e:
+                    self._reply(504, {"error": str(e)})
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:  # noqa: BLE001 — scorer faults -> 500
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                else:
+                    self._reply(
+                        200,
+                        {
+                            "scores": [float(s) for s in scores],
+                            "labels": [int(s > 0.5) for s in scores],
+                        },
+                    )
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    # ---- request assembly ----
+
+    def _rows_from_request(self, req: dict) -> np.ndarray:
+        if "pcm" in req:
+            return _fit_rows(np.asarray(req["pcm"]), self.batcher.n_samples)
+        if "audio_b64" in req:
+            y = _decode_b64_audio(req["audio_b64"], req.get("format", "wav"), self.sr)
+            return _fit_rows(y, self.batcher.n_samples)
+        raise KeyError("request needs 'pcm' or 'audio_b64'")
+
+    def _health(self) -> dict:
+        import jax
+
+        return {
+            "ok": True,
+            "platform": jax.devices()[0].platform,
+            "sr": self.sr,
+            "n_samples": self.batcher.n_samples,
+            "max_batch": self.batcher.max_batch,
+        }
+
+    # ---- lifecycle ----
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    def start_background(self) -> None:
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="score-server", daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10.0)
+            self._thread = None
+        self.batcher.close()
+
+
+def build_mel_scorer(
+    *,
+    checkpoint: str | None = None,
+    sr: int = 16000,
+    seconds: float = 2.0,
+    n_mels: int = 64,
+    mel_profile: str = "parity",
+) -> tuple[Callable[[np.ndarray], np.ndarray], int]:
+    """(scorer, n_samples) for the flagship mel -> CNN-BiLSTM service.
+
+    Mirrors ``cli.main.cmd_score``'s checkpoint contract: ``fit()``
+    payloads carry trained params AND BN statistics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig
+    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+    from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
+
+    mel_cfg = (
+        MelConfig.for_speech(sr, n_mels=n_mels)
+        if mel_profile == "speech"
+        else MelConfig(sr=sr, n_mels=n_mels)
+    )
+    n_samples = int(seconds * sr)
+    model = CNNBiLSTMHybrid()
+    t_frames = 1 + n_samples // mel_cfg.hop_length
+    feats0 = jnp.zeros((1, n_mels, t_frames))
+    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
+    if checkpoint:
+        from audioanalysisdetector_tpu.train.checkpoint import load_payload
+
+        payload = load_payload(checkpoint)
+        variables = {
+            "params": payload["params"],
+            "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
+        }
+    jitted = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
+
+    def scorer(wav: np.ndarray) -> np.ndarray:
+        return np.asarray(jitted(jnp.asarray(wav)))
+
+    return scorer, n_samples

@@ -131,6 +131,33 @@ def test_llr_calibration_degenerate_input_stays_bounded(rng):
     assert ((p2 > 0.5) == y2.astype(bool)).mean() > 0.95
 
 
+def test_fit_decision_threshold():
+    """EER-point operating threshold on a labeled split: separable scores
+    get a separating threshold (wherever the gap sits), degenerate splits
+    fall back to the reference's 0.5 contract."""
+    from audioanalysisdetector_tpu.score import fit_decision_threshold
+
+    # perfectly separable but centered far from 0.5 (the failure mode a
+    # fixed 0.5 threshold has on an off-center calibrated blend)
+    scores = np.array([0.10, 0.12, 0.15, 0.18, 0.30, 0.33, 0.35, 0.40])
+    y = np.array([0, 0, 0, 0, 1, 1, 1, 1])
+    t = fit_decision_threshold(scores, y)
+    assert 0.18 < t < 0.30
+    assert (((scores > t).astype(int)) == y).all()
+
+    # overlapping scores: the threshold equalizes the error rates
+    rng = np.random.default_rng(0)
+    s2 = np.concatenate([rng.normal(0.3, 0.1, 500), rng.normal(0.6, 0.1, 500)])
+    y2 = np.concatenate([np.zeros(500, int), np.ones(500, int)])
+    t2 = fit_decision_threshold(s2, y2)
+    fpr = (s2[y2 == 0] > t2).mean()
+    fnr = (s2[y2 == 1] <= t2).mean()
+    assert abs(fpr - fnr) < 0.02, (t2, fpr, fnr)
+
+    # single-class split: no information, keep the reference contract
+    assert fit_decision_threshold(np.array([0.4, 0.6]), np.array([1, 1])) == 0.5
+
+
 def test_graft_entry_and_dryrun():
     import __graft_entry__ as ge
 

@@ -1,0 +1,224 @@
+"""Serving layer: dynamic micro-batching core + HTTP front end.
+
+Machinery tests run against a plain numpy scorer (no device) so they pin
+the batching/backpressure/teardown semantics; one integration test runs
+the real mel -> CNN-BiLSTM scorer through HTTP end to end.
+"""
+
+import base64
+import json
+import os
+import tempfile
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from audioanalysisdetector_tpu.serve import (
+    BatchingScorer,
+    ScoreServer,
+    ServiceOverloaded,
+)
+
+N = 64  # row length for machinery tests
+
+
+def _sum_scorer():
+    calls = []
+
+    def scorer(batch):
+        calls.append(batch.shape)
+        return batch.sum(axis=1)
+
+    return scorer, calls
+
+
+def test_batcher_aggregates_concurrent_requests():
+    scorer, calls = _sum_scorer()
+    b = BatchingScorer(scorer, n_samples=N, max_batch=8, max_wait_ms=100.0)
+    try:
+        rng = np.random.default_rng(0)
+        rows = rng.standard_normal((8, N)).astype(np.float32)
+        results = [None] * 8
+        barrier = threading.Barrier(8)
+
+        def post(i):
+            barrier.wait()
+            results[i] = b.score(rows[i])
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(8):
+            np.testing.assert_allclose(results[i], rows[i].sum()[None], rtol=1e-5)
+        # 8 simultaneous single-row requests inside a 100 ms window must
+        # coalesce into far fewer device dispatches than requests
+        assert len(calls) < 8, calls
+        assert all(shape == (8, N) for shape in calls)  # one compiled shape
+        snap = b.stats.snapshot(8)
+        assert snap["requests"] == 8 and snap["utterances"] == 8
+        assert snap["batches"] == len(calls)
+    finally:
+        b.close()
+
+
+def test_batcher_splits_oversize_request():
+    scorer, calls = _sum_scorer()
+    b = BatchingScorer(scorer, n_samples=N, max_batch=8, max_wait_ms=1.0)
+    try:
+        rows = np.arange(20 * N, dtype=np.float32).reshape(20, N)
+        out = b.score(rows)
+        np.testing.assert_allclose(out, rows.sum(axis=1), rtol=1e-5)
+        assert all(shape == (8, N) for shape in calls)
+        assert len(calls) >= 3  # 20 rows over an 8-row budget
+    finally:
+        b.close()
+
+
+def test_batcher_error_propagates_and_service_survives():
+    state = {"fail": True}
+
+    def scorer(batch):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("injected device fault")
+        return batch.sum(axis=1)
+
+    b = BatchingScorer(scorer, n_samples=N, max_batch=4, max_wait_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="injected device fault"):
+            b.score(np.ones((1, N), np.float32))
+        out = b.score(np.full((1, N), 2.0, np.float32))  # next request is fine
+        np.testing.assert_allclose(out, [2.0 * N])
+        assert b.stats.snapshot(4)["errors"] == 1
+    finally:
+        b.close()
+
+
+def test_batcher_close_stops_worker_and_refuses_new_work():
+    scorer, _ = _sum_scorer()
+    b = BatchingScorer(scorer, n_samples=N, max_batch=4, max_wait_ms=1.0)
+    b.score(np.ones((2, N), np.float32))
+    b.close()
+    assert not b._worker.is_alive()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.score(np.ones((1, N), np.float32))
+
+
+@pytest.fixture()
+def http_server():
+    scorer, calls = _sum_scorer()
+    b = BatchingScorer(scorer, n_samples=N, max_batch=8, max_wait_ms=2.0)
+    server = ScoreServer(b, sr=16000, host="127.0.0.1", port=0)
+    server.start_background()
+    yield server, calls
+    server.close()
+    assert not b._worker.is_alive()
+
+
+def _post(port, payload, path="/v1/score"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=30
+    ) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_score_pcm_rows(http_server):
+    server, _ = http_server
+    rng = np.random.default_rng(1)
+    rows = rng.standard_normal((3, N)).astype(np.float32)
+    status, out = _post(server.port, {"pcm": rows.tolist()})
+    assert status == 200
+    np.testing.assert_allclose(out["scores"], rows.sum(axis=1), rtol=1e-5)
+    assert out["labels"] == [int(s > 0.5) for s in out["scores"]]
+    # short rows are zero-padded, long rows cropped, to the service length
+    status, out1 = _post(server.port, {"pcm": rows[0, : N // 2].tolist()})
+    assert status == 200
+    np.testing.assert_allclose(out1["scores"], rows[0, : N // 2].sum()[None], rtol=1e-5)
+
+
+def test_http_score_audio_b64(http_server):
+    from audioanalysisdetector_tpu.io.audio import load_audio, write_wav
+
+    server, _ = http_server
+    rng = np.random.default_rng(2)
+    y = (rng.standard_normal(N) * 0.2).astype(np.float32)
+    fd, path = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        write_wav(path, y, 16000)
+        decoded, _ = load_audio(path, sr=16000)  # includes int16 quantization
+        with open(path, "rb") as f:
+            b64 = base64.b64encode(f.read()).decode()
+    finally:
+        os.unlink(path)
+    status, out = _post(server.port, {"audio_b64": b64, "format": "wav"})
+    assert status == 200
+    np.testing.assert_allclose(out["scores"], [decoded[:N].sum()], rtol=1e-4)
+
+
+def test_http_health_stats_and_errors(http_server):
+    server, _ = http_server
+    status, health = _get(server.port, "/healthz")
+    assert status == 200 and health["ok"] is True
+    assert health["n_samples"] == N and health["max_batch"] == 8
+
+    _post(server.port, {"pcm": [0.0] * N})
+    status, stats = _get(server.port, "/v1/stats")
+    assert status == 200 and stats["requests"] >= 1 and stats["batches"] >= 1
+
+    for bad, code in (
+        ({"nope": 1}, 400),  # missing pcm/audio_b64
+        ({"audio_b64": "!!!notb64", "format": "wav"}, 400),
+        ({"audio_b64": "aGk=", "format": "mp3"}, 400),  # unsupported format
+    ):
+        try:
+            _post(server.port, bad)
+            raised = None
+        except urllib.error.HTTPError as e:
+            raised = e.code
+        assert raised == code, (bad, raised)
+    try:
+        _get(server.port, "/nope")
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 404
+
+
+def test_http_real_mel_scorer_end_to_end():
+    """The flagship service contract: HTTP scores == direct jitted scores."""
+    from audioanalysisdetector_tpu.serve import build_mel_scorer
+
+    scorer, n_samples = build_mel_scorer(sr=8000, seconds=0.25, n_mels=16)
+    assert n_samples == 2000
+    b = BatchingScorer(scorer, n_samples=n_samples, max_batch=4, max_wait_ms=2.0)
+    server = ScoreServer(b, sr=8000, host="127.0.0.1", port=0)
+    server.start_background()
+    try:
+        rng = np.random.default_rng(3)
+        rows = (rng.standard_normal((2, n_samples)) * 0.1).astype(np.float32)
+        status, out = _post(server.port, {"pcm": rows.tolist()})
+        assert status == 200
+        direct = scorer(
+            np.concatenate([rows, np.zeros((2, n_samples), np.float32)])
+        )[:2]
+        np.testing.assert_allclose(out["scores"], direct, rtol=1e-4, atol=1e-5)
+        assert all(0.0 <= s <= 1.0 for s in out["scores"])
+    finally:
+        server.close()
