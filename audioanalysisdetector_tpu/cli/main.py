@@ -650,15 +650,22 @@ def cmd_serve(args) -> int:
         n_mels=args.n_mels,
         mel_profile=args.mel_profile,
     )
-    # compile before accepting traffic so the first request isn't a 30 s+
-    # cold-compile hostage (one fixed shape -> this is the only compile)
-    scorer(np.zeros((args.max_batch, n_samples), np.float32))
+    if args.buckets:
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+    else:  # default ladder: powers of two up to max_batch
+        buckets = tuple(
+            sorted({max(1, args.max_batch >> k) for k in range(3, -1, -1)})
+        )
     batcher = BatchingScorer(
         scorer,
         n_samples=n_samples,
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
+        bucket_sizes=buckets,
     )
+    # compile every bucket before accepting traffic so no request is a
+    # 30 s+ cold-compile hostage (the ladder is the full set of shapes)
+    batcher.warm_up()
     server = ScoreServer(batcher, sr=args.sr, host=args.host, port=args.port)
     print(
         json.dumps(
@@ -866,7 +873,13 @@ def build_parser() -> argparse.ArgumentParser:
     mel_profile_flag(sp)
     sp.add_argument(
         "--max-batch", type=int, default=256,
-        help="device dispatch rows (the service's single compiled shape)",
+        help="row budget per device dispatch (largest compiled shape)",
+    )
+    sp.add_argument(
+        "--buckets", default=None,
+        help="comma-separated dispatch-size ladder ending at max-batch "
+        "(default: powers of two max-batch/8..max-batch); partial batches "
+        "pad up to the smallest bucket instead of max-batch",
     )
     sp.add_argument(
         "--max-wait-ms", type=float, default=5.0,

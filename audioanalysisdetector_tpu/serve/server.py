@@ -61,7 +61,8 @@ class ServeStats:
     requests: int = 0
     utterances: int = 0
     batches: int = 0
-    batch_rows: int = 0  # non-padding rows dispatched; fill = batch_rows/(batches*max_batch)
+    batch_rows: int = 0  # non-padding rows dispatched
+    dispatched_rows: int = 0  # bucket rows dispatched (incl. padding)
     rejected: int = 0
     errors: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
@@ -69,7 +70,7 @@ class ServeStats:
     def snapshot(self, max_batch: int) -> dict:
         with self._lock:
             fill = (
-                self.batch_rows / (self.batches * max_batch) if self.batches else 0.0
+                self.batch_rows / self.dispatched_rows if self.dispatched_rows else 0.0
             )
             return {
                 "requests": self.requests,
@@ -110,6 +111,7 @@ class BatchingScorer:
         max_batch: int = 256,
         max_wait_ms: float = 5.0,
         queue_depth: int = 64,
+        bucket_sizes: tuple[int, ...] | None = None,
     ):
         import queue as _queue
 
@@ -117,6 +119,18 @@ class BatchingScorer:
         self.n_samples = int(n_samples)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # dispatch-size ladder: a partial batch pads up to the smallest
+        # bucket that holds it instead of always to max_batch. Costs one
+        # compile per bucket (primed by warm_up), saves proportional
+        # upload + compute on every partial dispatch (see
+        # benchmarks/bench_serve.py for the measured effect).
+        if bucket_sizes:
+            ladder = sorted(int(b) for b in bucket_sizes)
+            if ladder[-1] != self.max_batch:
+                raise ValueError("bucket_sizes must end at max_batch")
+            self.bucket_sizes: tuple[int, ...] = tuple(ladder)
+        else:
+            self.bucket_sizes = (self.max_batch,)
         self.stats = ServeStats()
         self._q: "_queue.Queue[_Pending | None]" = _queue.Queue(maxsize=queue_depth)
         self._carry: _Pending | None = None  # overflow item held for the next batch
@@ -211,13 +225,25 @@ class BatchingScorer:
             rows += len(item.wav)
         return batch
 
+    def warm_up(self) -> None:
+        """Compile every bucket shape before accepting traffic (otherwise
+        the first request at each fill level pays a cold compile)."""
+        for b in self.bucket_sizes:
+            np.asarray(self._scorer(np.zeros((b, self.n_samples), np.float32)))
+
+    def _bucket(self, rows: int) -> int:
+        for b in self.bucket_sizes:
+            if b >= rows:
+                return b
+        return self.max_batch
+
     def _run(self) -> None:
         while True:
             batch = self._collect()
             if batch is None:
                 return
             rows = sum(len(p.wav) for p in batch)
-            mat = np.zeros((self.max_batch, self.n_samples), dtype=np.float32)
+            mat = np.zeros((self._bucket(rows), self.n_samples), dtype=np.float32)
             off = 0
             for p in batch:
                 mat[off : off + len(p.wav)] = p.wav
@@ -231,6 +257,7 @@ class BatchingScorer:
                 with self.stats._lock:
                     self.stats.batches += 1
                     self.stats.batch_rows += rows
+                    self.stats.dispatched_rows += len(mat)
             except BaseException as e:  # noqa: BLE001 — delivered per-request
                 for p in batch:
                     p.error = e
@@ -282,8 +309,10 @@ class ScoreServer:
 
     Endpoints (JSON in/out):
 
-    - ``POST /v1/score`` — body either ``{"pcm": [[...]...]}`` (float rows
-      at the service sample rate; padded/cropped to the chunk length) or
+    - ``POST /v1/score`` — body one of ``{"pcm": [[...]...]}`` (float rows
+      at the service sample rate; padded/cropped to the chunk length),
+      ``{"pcm_b64": "...", "rows": k}`` (base64 little-endian float32 —
+      the production lane, no per-float JSON parsing), or
       ``{"audio_b64": "...", "format": "wav"|"flac"}`` (decoded +
       resampled host-side). Response ``{"scores": [...], "labels": [...]}``
       with the reference's 0.5 decision threshold
@@ -369,12 +398,25 @@ class ScoreServer:
     # ---- request assembly ----
 
     def _rows_from_request(self, req: dict) -> np.ndarray:
+        if "pcm_b64" in req:
+            # binary lane: little-endian float32 rows, base64-wrapped — a
+            # 2-s utterance is 128 KB of payload instead of ~700 KB of JSON
+            # floats, and numpy's frombuffer replaces per-float JSON parsing
+            raw = np.frombuffer(
+                base64.b64decode(req["pcm_b64"], validate=True), dtype="<f4"
+            )
+            rows = int(req.get("rows", 1))
+            if rows < 1 or len(raw) % rows != 0:
+                raise ValueError(
+                    f"pcm_b64 length {len(raw)} not divisible into {rows} rows"
+                )
+            return _fit_rows(raw.reshape(rows, -1), self.batcher.n_samples)
         if "pcm" in req:
             return _fit_rows(np.asarray(req["pcm"]), self.batcher.n_samples)
         if "audio_b64" in req:
             y = _decode_b64_audio(req["audio_b64"], req.get("format", "wav"), self.sr)
             return _fit_rows(y, self.batcher.n_samples)
-        raise KeyError("request needs 'pcm' or 'audio_b64'")
+        raise KeyError("request needs 'pcm', 'pcm_b64', or 'audio_b64'")
 
     def _health(self) -> dict:
         import jax

@@ -152,6 +152,26 @@ def test_http_score_pcm_rows(http_server):
     np.testing.assert_allclose(out1["scores"], rows[0, : N // 2].sum()[None], rtol=1e-5)
 
 
+def test_http_score_pcm_b64_binary_lane(http_server):
+    server, _ = http_server
+    rng = np.random.default_rng(4)
+    rows = rng.standard_normal((5, N)).astype("<f4")
+    payload = {
+        "pcm_b64": base64.b64encode(rows.tobytes()).decode(),
+        "rows": 5,
+    }
+    status, out = _post(server.port, payload)
+    assert status == 200
+    np.testing.assert_allclose(out["scores"], rows.sum(axis=1), rtol=1e-5)
+    # row count must divide the buffer
+    try:
+        _post(server.port, {"pcm_b64": payload["pcm_b64"], "rows": 3})
+        raised = None
+    except urllib.error.HTTPError as e:
+        raised = e.code
+    assert raised == 400
+
+
 def test_http_score_audio_b64(http_server):
     from audioanalysisdetector_tpu.io.audio import load_audio, write_wav
 
