@@ -71,10 +71,11 @@ def get_lib() -> ctypes.CDLL | None:
         lib.wav_info.argtypes = info_argtypes
         lib.flac_info.restype = ctypes.c_int
         lib.flac_info.argtypes = info_argtypes
-        lib.load_chunk_batch.restype = ctypes.c_int
-        lib.load_chunk_batch.argtypes = [
+        lib.load_chunk_batch_rows.restype = ctypes.c_int
+        lib.load_chunk_batch_rows.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
             ctypes.c_int32,
             ctypes.c_int32,
             ctypes.c_int32,
@@ -115,12 +116,16 @@ def load_chunk_batch_native(
 ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Threaded native batch fill -> (B, n_samples) float32.
 
+    The native decoder writes straight into the final batch buffer (row
+    indices passed down, short rows zero-padded in place), so the host does
+    NOT pre-zero + row-copy a staging array — that pass moved ~3x the
+    decoded bytes per row and showed up as ~half the measured per-utt cost.
     Rows the native decoder rejects fall back to the Python loader; with
     ``return_ok`` a boolean per-row success mask is returned too (feeds the
     reference's failure->None->filtr_nan policy).
     """
     n = int(round((chunk_ends[0] - chunk_starts[0]) * sr))
-    out = np.zeros((len(paths), n), dtype=np.float32)
+    out = np.empty((len(paths), n), dtype=np.float32)
     ok = np.ones(len(paths), dtype=bool)
     lib = get_lib()
     todo = list(range(len(paths)))
@@ -131,16 +136,15 @@ def load_chunk_batch_native(
                 *[paths[i].encode() for i in wav_rows]
             )
             starts = np.asarray([chunk_starts[i] for i in wav_rows], np.float64)
-            sub = np.zeros((len(wav_rows), n), dtype=np.float32)
+            rows = np.asarray(wav_rows, dtype=np.int32)
             status = np.zeros(len(wav_rows), dtype=np.int32)
-            lib.load_chunk_batch(
-                c_paths, starts, len(wav_rows), n, sr, sub, status, n_threads
+            lib.load_chunk_batch_rows(
+                c_paths, starts, rows, len(wav_rows), n, sr, out, status, n_threads
             )
-            for j, i in enumerate(wav_rows):
-                if status[j] == 0:
-                    out[i] = sub[j]
-                    todo.remove(i)
+            done = {i for j, i in enumerate(wav_rows) if status[j] == 0}
+            todo = [i for i in todo if i not in done]
     for i in todo:  # python fallback (non-WAV, rate mismatch, errors)
+        out[i] = 0.0
         try:
             y, _ = load_audio(
                 paths[i], sr=sr, offset=chunk_starts[i],

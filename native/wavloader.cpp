@@ -164,15 +164,19 @@ int wav_info(const char* path, int64_t* frames, int32_t* sample_rate,
   return 0;
 }
 
-// Fill `out` (batch x n_samples, float32, caller-zeroed) with fixed-length
-// chunks decoded in parallel. `paths` is a packed array of char pointers;
-// `start_seconds[i]` selects each chunk's offset. Files whose sample rate
-// differs from `expected_sr` are skipped and flagged in `status` (caller
-// falls back to the resampling Python path for those rows).
-// status[i]: 0 ok, 1 open/header error, 2 bad format, 3 sample-rate mismatch.
-int load_chunk_batch(const char** paths, const double* start_seconds,
-                     int32_t batch, int32_t n_samples, int32_t expected_sr,
-                     float* out, int32_t* status, int32_t n_threads) {
+// Decode fixed-length chunks in parallel, writing DIRECTLY into the
+// caller's full (B, n_samples) float32 batch buffer. `rows[j]` is the
+// destination row for `paths[j]` (NULL -> identity, j -> row j). Rows the
+// decoder completes are fully defined on return (short reads zero-padded
+// in place, so the caller can hand over an UNINITIALIZED buffer — no
+// host-side pre-zero + row-copy pass, which at 128 KB/row was costing more
+// memory traffic than the decode itself). Failed rows (nonzero status) are
+// left untouched for the caller's Python fallback.
+// status[j]: 0 ok, 1 open/header error, 2 bad format, 3 sample-rate mismatch.
+int load_chunk_batch_rows(const char** paths, const double* start_seconds,
+                          const int32_t* rows, int32_t batch, int32_t n_samples,
+                          int32_t expected_sr, float* out, int32_t* status,
+                          int32_t n_threads) {
   if (n_threads <= 0) n_threads = (int32_t)std::thread::hardware_concurrency();
   if (n_threads <= 0) n_threads = 4;
   if (n_threads > 16) n_threads = 16;  // thread-spawn cost dominates beyond this
@@ -182,36 +186,45 @@ int load_chunk_batch(const char** paths, const double* start_seconds,
 
   auto worker = [&]() {
     while (true) {
-      const int32_t i = next.fetch_add(1);
-      if (i >= batch) break;
-      status[i] = 0;
-      if (has_flac_ext(paths[i])) {
-        const long start = (long)(start_seconds[i] * expected_sr + 0.5);
-        const long got = flac_decode_chunk(paths[i], start, n_samples,
-                                           expected_sr, out + (long)i * n_samples);
-        if (got < 0) status[i] = (int32_t)(-got);
-        continue;
-      }
-      FILE* f = fopen(paths[i], "rb");
-      if (!f) {
-        status[i] = 1;
-        continue;
-      }
-      WavFormat fmt;
-      if (!read_header(f, &fmt) || fmt.channels == 0) {
-        status[i] = 2;
+      const int32_t j = next.fetch_add(1);
+      if (j >= batch) break;
+      status[j] = 0;
+      float* dst = out + (long)(rows ? rows[j] : j) * n_samples;
+      long got = -2;
+      if (has_flac_ext(paths[j])) {
+        const long start = (long)(start_seconds[j] * expected_sr + 0.5);
+        got = flac_decode_chunk(paths[j], start, n_samples, expected_sr, dst);
+        if (got < 0) {
+          status[j] = (int32_t)(-got);
+          continue;
+        }
+      } else {
+        FILE* f = fopen(paths[j], "rb");
+        if (!f) {
+          status[j] = 1;
+          continue;
+        }
+        WavFormat fmt;
+        if (!read_header(f, &fmt) || fmt.channels == 0) {
+          status[j] = 2;
+          fclose(f);
+          continue;
+        }
+        if ((int32_t)fmt.sample_rate != expected_sr) {
+          status[j] = 3;
+          fclose(f);
+          continue;
+        }
+        const long start = (long)(start_seconds[j] * fmt.sample_rate + 0.5);
+        got = decode_into(f, fmt, start, n_samples, dst);
         fclose(f);
-        continue;
+        if (got < 0) {
+          status[j] = 2;
+          continue;
+        }
       }
-      if ((int32_t)fmt.sample_rate != expected_sr) {
-        status[i] = 3;
-        fclose(f);
-        continue;
-      }
-      const long start = (long)(start_seconds[i] * fmt.sample_rate + 0.5);
-      const long got = decode_into(f, fmt, start, n_samples, out + (long)i * n_samples);
-      fclose(f);
-      if (got < 0) status[i] = 2;
+      if (got < n_samples)  // short file: zero-pad in place
+        memset(dst + got, 0, sizeof(float) * (size_t)(n_samples - got));
     }
   };
 
@@ -221,6 +234,14 @@ int load_chunk_batch(const char** paths, const double* start_seconds,
   for (int32_t t = 0; t < n; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();
   return 0;
+}
+
+// Back-compat contiguous entry (caller-zeroed buffer, row j <- paths[j]).
+int load_chunk_batch(const char** paths, const double* start_seconds,
+                     int32_t batch, int32_t n_samples, int32_t expected_sr,
+                     float* out, int32_t* status, int32_t n_threads) {
+  return load_chunk_batch_rows(paths, start_seconds, nullptr, batch, n_samples,
+                               expected_sr, out, status, n_threads);
 }
 
 }  // extern "C"
