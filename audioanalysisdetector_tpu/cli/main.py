@@ -649,6 +649,7 @@ def cmd_serve(args) -> int:
         seconds=args.seconds,
         n_mels=args.n_mels,
         mel_profile=args.mel_profile,
+        data_parallel={"auto": None, "on": True, "off": False}[args.data_parallel],
     )
     if args.buckets:
         buckets = tuple(int(b) for b in args.buckets.split(","))
@@ -673,7 +674,9 @@ def cmd_serve(args) -> int:
                 "listening": f"http://{args.host}:{server.port}",
                 "endpoints": ["/v1/score", "/v1/stats", "/healthz"],
                 "max_batch": args.max_batch,
+                "buckets": list(batcher.bucket_sizes),
                 "n_samples": n_samples,
+                "data_parallel_devices": getattr(scorer, "row_multiple", 1),
             }
         ),
         flush=True,
@@ -880,6 +883,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated dispatch-size ladder ending at max-batch "
         "(default: powers of two max-batch/8..max-batch); partial batches "
         "pad up to the smallest bucket instead of max-batch",
+    )
+    sp.add_argument(
+        "--data-parallel", choices=("auto", "on", "off"), default="auto",
+        help="shard each dispatch batch across local devices (GSPMD data "
+        "axis); auto = on when >1 local device",
     )
     sp.add_argument(
         "--max-wait-ms", type=float, default=5.0,

@@ -119,16 +119,26 @@ class BatchingScorer:
         self.n_samples = int(n_samples)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # a data-parallel scorer shards dispatch rows over local devices
+        # and needs every bucket divisible by the device count
+        multiple = int(getattr(scorer, "row_multiple", 1) or 1)
+        if self.max_batch % multiple:
+            raise ValueError(
+                f"max_batch {self.max_batch} not divisible by the scorer's "
+                f"row multiple {multiple}"
+            )
         # dispatch-size ladder: a partial batch pads up to the smallest
         # bucket that holds it instead of always to max_batch. Costs one
         # compile per bucket (primed by warm_up), saves proportional
         # upload + compute on every partial dispatch (see
         # benchmarks/bench_serve.py for the measured effect).
         if bucket_sizes:
-            ladder = sorted(int(b) for b in bucket_sizes)
+            ladder = sorted(
+                -(-int(b) // multiple) * multiple for b in bucket_sizes
+            )
             if ladder[-1] != self.max_batch:
                 raise ValueError("bucket_sizes must end at max_batch")
-            self.bucket_sizes: tuple[int, ...] = tuple(ladder)
+            self.bucket_sizes: tuple[int, ...] = tuple(dict.fromkeys(ladder))
         else:
             self.bucket_sizes = (self.max_batch,)
         self.stats = ServeStats()
@@ -460,11 +470,20 @@ def build_mel_scorer(
     seconds: float = 2.0,
     n_mels: int = 64,
     mel_profile: str = "parity",
+    data_parallel: bool | None = None,
 ) -> tuple[Callable[[np.ndarray], np.ndarray], int]:
     """(scorer, n_samples) for the flagship mel -> CNN-BiLSTM service.
 
     Mirrors ``cli.main.cmd_score``'s checkpoint contract: ``fit()``
     payloads carry trained params AND BN statistics.
+
+    ``data_parallel`` (None = auto when >1 local device): shard each
+    dispatch batch across local devices on the data axis via GSPMD —
+    scoring is embarrassingly parallel, so jit partitions the whole
+    mel+model program per device with no collectives. The returned
+    scorer then requires row counts divisible by the device count; its
+    ``row_multiple`` attribute carries that constraint to the batcher's
+    bucket ladder.
     """
     import jax
     import jax.numpy as jnp
@@ -493,7 +512,28 @@ def build_mel_scorer(
         }
     jitted = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
 
-    def scorer(wav: np.ndarray) -> np.ndarray:
-        return np.asarray(jitted(jnp.asarray(wav)))
+    n_dev = jax.local_device_count()
+    use_dp = n_dev > 1 if data_parallel is None else data_parallel
+    if use_dp and n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.local_devices()), ("data",))
+        row_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+        def scorer(wav: np.ndarray) -> np.ndarray:
+            if wav.shape[0] % n_dev:
+                raise ValueError(
+                    f"dispatch rows {wav.shape[0]} not divisible by "
+                    f"{n_dev} local devices"
+                )
+            return np.asarray(jitted(jax.device_put(jnp.asarray(wav), row_sharding)))
+
+        scorer.row_multiple = n_dev
+    else:
+
+        def scorer(wav: np.ndarray) -> np.ndarray:
+            return np.asarray(jitted(jnp.asarray(wav)))
+
+        scorer.row_multiple = 1
 
     return scorer, n_samples

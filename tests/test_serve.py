@@ -221,11 +221,52 @@ def test_http_health_stats_and_errors(http_server):
     assert raised == 404
 
 
+def test_dp_scorer_matches_single_device_and_sets_row_multiple():
+    """GSPMD data-parallel serving: same scores, rows sharded over the
+    8-virtual-device CPU mesh (conftest), ladder rounded to multiples."""
+    import jax
+
+    from audioanalysisdetector_tpu.serve import build_mel_scorer
+
+    n_dev = jax.local_device_count()
+    assert n_dev == 8  # conftest contract
+    dp, n_samples = build_mel_scorer(sr=8000, seconds=0.25, n_mels=16)
+    single, _ = build_mel_scorer(
+        sr=8000, seconds=0.25, n_mels=16, data_parallel=False
+    )
+    assert dp.row_multiple == n_dev and single.row_multiple == 1
+    rng = np.random.default_rng(5)
+    rows = (rng.standard_normal((16, n_samples)) * 0.1).astype(np.float32)
+    np.testing.assert_allclose(dp(rows), single(rows), rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="not divisible"):
+        dp(rows[:3])
+
+    # the batcher rounds every bucket up to the scorer's row multiple
+    b = BatchingScorer(
+        dp,
+        n_samples=n_samples,
+        max_batch=16,
+        max_wait_ms=1.0,
+        bucket_sizes=(2, 9, 16),
+    )
+    try:
+        assert b.bucket_sizes == (8, 16)
+        out = b.score(rows[:3])  # 3 rows -> dispatched as one 8-row bucket
+        padded = np.concatenate([rows[:3], np.zeros((5, n_samples), np.float32)])
+        np.testing.assert_allclose(out, single(padded)[:3], rtol=1e-5, atol=1e-6)
+    finally:
+        b.close()
+    with pytest.raises(ValueError, match="row multiple"):
+        BatchingScorer(dp, n_samples=n_samples, max_batch=12)
+
+
 def test_http_real_mel_scorer_end_to_end():
     """The flagship service contract: HTTP scores == direct jitted scores."""
     from audioanalysisdetector_tpu.serve import build_mel_scorer
 
-    scorer, n_samples = build_mel_scorer(sr=8000, seconds=0.25, n_mels=16)
+    scorer, n_samples = build_mel_scorer(
+        sr=8000, seconds=0.25, n_mels=16, data_parallel=False
+    )
     assert n_samples == 2000
     b = BatchingScorer(scorer, n_samples=n_samples, max_batch=4, max_wait_ms=2.0)
     server = ScoreServer(b, sr=8000, host="127.0.0.1", port=0)
