@@ -91,6 +91,69 @@ def _measure(paths: list[str], n_threads: int, repeats: int) -> tuple[float, flo
     return n_done / wall, cpu / n_done * 1e6
 
 
+def _measure_multichunk(root: str) -> dict:
+    """Per-chunk decode cost on multi-chunk FLAC files, grouped vs per-chunk.
+
+    ASVspoof datasets emit one row per 2-s chunk of each file
+    (reference/ASV_dl_func.py:247-340); FLAC has no frame seek, so decoding
+    chunk k replays frames 0..k. The batch loader groups same-path rows and
+    decodes each file's span once — this lane quantifies that win on 6-s
+    files (3 chunks each).
+    """
+    from audioanalysisdetector_tpu.io.flac import write_flac
+    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
+
+    rng = np.random.default_rng(2)
+    n_files = 96
+    secs = 6
+    n = SR * secs
+    t = np.arange(n) / SR
+    paths = []
+    for i in range(n_files):
+        y = (
+            0.3 * np.sin(2 * np.pi * (110 + 5 * (i % 50)) * t)
+            + 0.1 * np.sin(2 * np.pi * (800 + 20 * (i % 30)) * t)
+            + 0.03 * rng.standard_normal(n)
+        )
+        x = np.round(np.clip(y, -0.999, 0.999) * 32767).astype(np.int64)
+        p = os.path.join(root, f"m{i:05d}.flac")
+        write_flac(p, x, SR)
+        paths.append(p)
+    chunks = [(p, float(s)) for p in paths for s in range(0, secs, SECONDS)]
+    batch_paths = [c[0] for c in chunks]
+    starts = [c[1] for c in chunks]
+    ends = [s + SECONDS for s in starts]
+
+    def run(grouped: bool, repeats: int) -> float:
+        c0 = time.process_time()
+        done = 0
+        for _ in range(repeats):
+            if grouped:
+                for i in range(0, len(chunks), BATCH):
+                    load_chunk_batch_native(
+                        batch_paths[i : i + BATCH], starts[i : i + BATCH],
+                        ends[i : i + BATCH], sr=SR, n_threads=1,
+                    )
+                    done += len(batch_paths[i : i + BATCH])
+            else:  # pre-grouping behavior: every chunk decodes its own prefix
+                for p, s, e in zip(batch_paths, starts, ends):
+                    load_chunk_batch_native([p], [s], [e], sr=SR, n_threads=1)
+                    done += 1
+        return (time.process_time() - c0) / done * 1e6
+
+    run(True, 1)  # warm cache
+    grouped_us = run(True, 3)
+    single_us = run(False, 1)
+    return {
+        "file_seconds": secs,
+        "chunks_per_file": secs // SECONDS,
+        "grouped_us_per_chunk": round(grouped_us, 1),
+        "per_chunk_decode_us": round(single_us, 1),
+        "grouped_speedup": round(single_us / grouped_us, 2),
+        "grouped_utt_s_per_core": round(1e6 / grouped_us, 1),
+    }
+
+
 def main() -> None:
     import math
 
@@ -98,6 +161,7 @@ def main() -> None:
         wavs, flacs = _build_corpus(root)
         wav_utt_s, wav_us = _measure(wavs, 1, repeats=4)
         flac_utt_s, flac_us = _measure(flacs, 1, repeats=4)
+        multichunk = _measure_multichunk(root)
         threads_curve = {}
         for nt in (1, 2, 4):
             w, _ = _measure(wavs, nt, repeats=2)
@@ -120,6 +184,7 @@ def main() -> None:
         "bytes_per_utt_i16": BYTES_PER_UTT_I16,
         "upload_MB_s_needed_10k": round(TARGET_UTT_S * BYTES_PER_UTT_I16 / 1e6, 1),
         "host_vcpus_here": os.cpu_count(),
+        "multichunk_flac": multichunk,
         "threads": threads_curve,
         "n_files": N_FILES,
         "seconds_per_utt": SECONDS,

@@ -18,7 +18,9 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 // FLAC support (flacdec.cpp, compiled into the same library)
@@ -182,12 +184,84 @@ int load_chunk_batch_rows(const char** paths, const double* start_seconds,
   if (n_threads > 16) n_threads = 16;  // thread-spawn cost dominates beyond this
   // amortize spawn cost: keep >= 8 files per worker
   while (n_threads > 1 && batch / n_threads < 8) n_threads /= 2;
+
+  // Group same-path FLAC requests: FLAC has no per-frame seek, so decoding
+  // chunk k of a file replays frames 0..k — with the dataset's one-row-per-
+  // 2-s-chunk layout (reference/ASV_dl_func.py:247-340) a 6-s file would be
+  // decoded 3x per batch. One span decode per file + per-row slicing makes
+  // multi-chunk FLAC cost ~one decode of the covered span instead.
+  // `groups` is CSR over batch indices: singletons for WAV (seekable) and
+  // lone FLAC chunks; multi-entry runs for repeated FLAC paths.
+  std::vector<int32_t> group_items;
+  std::vector<int32_t> group_off(1, 0);
+  {
+    std::unordered_map<std::string, std::vector<int32_t>> flac_groups;
+    std::vector<int32_t> order;  // first-appearance order of keys
+    order.reserve(batch);
+    for (int32_t j = 0; j < batch; ++j) {
+      if (has_flac_ext(paths[j])) {
+        auto& v = flac_groups[paths[j]];
+        if (v.empty()) order.push_back(j);  // j is the group's representative
+        v.push_back(j);
+      } else {
+        order.push_back(~j);  // singleton WAV marker
+      }
+    }
+    group_items.reserve(batch);
+    for (const int32_t key : order) {
+      if (key < 0) {
+        group_items.push_back(~key);
+      } else {
+        const auto& v = flac_groups[paths[key]];
+        group_items.insert(group_items.end(), v.begin(), v.end());
+      }
+      group_off.push_back((int32_t)group_items.size());
+    }
+  }
+  const int32_t n_groups = (int32_t)group_off.size() - 1;
   std::atomic<int32_t> next(0);
 
   auto worker = [&]() {
+    std::vector<float> scratch;
     while (true) {
-      const int32_t j = next.fetch_add(1);
-      if (j >= batch) break;
+      const int32_t g = next.fetch_add(1);
+      if (g >= n_groups) break;
+      const int32_t* items = group_items.data() + group_off[g];
+      const int32_t count = group_off[g + 1] - group_off[g];
+
+      if (count > 1) {  // multi-chunk FLAC file: one span decode, slice rows
+        long span_lo = (long)(start_seconds[items[0]] * expected_sr + 0.5);
+        long span_hi = span_lo;
+        for (int32_t k = 0; k < count; ++k) {
+          const long s = (long)(start_seconds[items[k]] * expected_sr + 0.5);
+          if (s < span_lo) span_lo = s;
+          if (s > span_hi) span_hi = s;
+        }
+        span_hi += n_samples;
+        scratch.resize((size_t)(span_hi - span_lo));
+        const long got = flac_decode_chunk(paths[items[0]], span_lo,
+                                           span_hi - span_lo, expected_sr,
+                                           scratch.data());
+        for (int32_t k = 0; k < count; ++k) {
+          const int32_t j = items[k];
+          if (got < 0) {
+            status[j] = (int32_t)(-got);
+            continue;
+          }
+          status[j] = 0;
+          float* dst = out + (long)(rows ? rows[j] : j) * n_samples;
+          const long off = (long)(start_seconds[j] * expected_sr + 0.5) - span_lo;
+          long avail = got - off;
+          if (avail < 0) avail = 0;
+          if (avail > n_samples) avail = n_samples;
+          if (avail > 0) memcpy(dst, scratch.data() + off, sizeof(float) * (size_t)avail);
+          if (avail < n_samples)
+            memset(dst + avail, 0, sizeof(float) * (size_t)(n_samples - avail));
+        }
+        continue;
+      }
+
+      const int32_t j = items[0];
       status[j] = 0;
       float* dst = out + (long)(rows ? rows[j] : j) * n_samples;
       long got = -2;
@@ -229,7 +303,7 @@ int load_chunk_batch_rows(const char** paths, const double* start_seconds,
   };
 
   std::vector<std::thread> threads;
-  const int32_t n = n_threads < batch ? n_threads : batch;
+  const int32_t n = n_threads < n_groups ? n_threads : n_groups;
   threads.reserve(n);
   for (int32_t t = 0; t < n; ++t) threads.emplace_back(worker);
   for (auto& th : threads) th.join();

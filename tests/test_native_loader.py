@@ -130,6 +130,51 @@ def test_native_flac_corrupt_falls_back_then_flags(flacs, tmp_path):
     assert not ok[1]
 
 
+def test_native_flac_grouped_multichunk_matches_singles(flacs, tmp_path):
+    """Repeated-path FLAC rows take the one-span-decode group path.
+
+    The loader decodes a multi-chunk FLAC file once per batch and slices
+    rows out of the span (FLAC has no frame seek, so per-chunk decode
+    replays the prefix). Must be bit-identical to per-chunk decodes,
+    including a chunk starting past EOF (zero row) and interleaved order.
+    """
+    from audioanalysisdetector_tpu.io.flac import write_flac
+
+    rng = np.random.default_rng(7)
+    n = int(16000 * 6.5)
+    t = np.arange(n) / 16000.0
+    y = 0.3 * np.sin(2 * np.pi * 140 * t) + 0.05 * rng.standard_normal(n)
+    x = np.round(np.clip(y, -0.999, 0.999) * 32767).astype(np.int64)
+    p = str(tmp_path / "long.flac")
+    write_flac(p, x, 16000)
+
+    paths = [p, flacs[0], p, p, p]  # interleaved: group is non-contiguous
+    starts = [0.0, 0.0, 2.0, 4.0, 6.0]  # 6.0 -> only 0.5 s available
+    ends = [s + 2.0 for s in starts]
+    grouped, ok = load_chunk_batch_native(paths, starts, ends, sr=16000, return_ok=True)
+    assert ok.all()
+    singles = np.stack([
+        load_chunk_batch_native([pp], [s], [e], sr=16000)[0]
+        for pp, s, e in zip(paths, starts, ends)
+    ])
+    np.testing.assert_array_equal(grouped, singles)
+    assert (grouped[4, 8000:] == 0).all()  # past-EOF tail zero-padded
+
+
+def test_native_flac_grouped_corrupt_file_flags_all_rows(flacs, tmp_path):
+    raw = bytearray(open(flacs[0], "rb").read())
+    raw[100] ^= 0xFF
+    bad = str(tmp_path / "bad2.flac")
+    with open(bad, "wb") as f:
+        f.write(bytes(raw))
+    out, ok = load_chunk_batch_native(
+        [bad, flacs[1], bad], [0.0, 0.0, 1.0], [1.0, 1.0, 2.0],
+        sr=16000, return_ok=True,
+    )
+    assert not ok[0] and not ok[2]
+    assert ok[1] and np.abs(out[1]).max() > 0
+
+
 def test_native_mixed_wav_flac_batch(wavs, flacs):
     paths = [wavs[0], flacs[0], wavs[1], flacs[1]]
     starts = [0.0, 0.0, 1.0, 1.0]
