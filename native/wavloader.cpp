@@ -248,12 +248,33 @@ int load_chunk_batch_rows(const char** paths, const double* start_seconds,
             status[j] = (int32_t)(-got);
             continue;
           }
-          status[j] = 0;
           float* dst = out + (long)(rows ? rows[j] : j) * n_samples;
-          const long off = (long)(start_seconds[j] * expected_sr + 0.5) - span_lo;
+          const long start = (long)(start_seconds[j] * expected_sr + 0.5);
+          const long off = start - span_lo;
           long avail = got - off;
           if (avail < 0) avail = 0;
           if (avail > n_samples) avail = n_samples;
+          if (avail < n_samples && got < span_hi - span_lo) {
+            // Span came up short (clean EOF or a mid-stream decode failure
+            // past some frame) and this chunk did not get its full slice.
+            // The span return value cannot distinguish the two causes, but
+            // the single-chunk path CAN (clean EOF -> zero-padded ok row;
+            // failure before the chunk -> negative status -> Python
+            // fallback -> row dropped). Re-decode just this chunk so
+            // grouped and ungrouped batches are behavior-identical —
+            // corrupt tails must not become silent all-zero "ok" rows.
+            const long got1 =
+                flac_decode_chunk(paths[j], start, n_samples, expected_sr, dst);
+            if (got1 < 0) {
+              status[j] = (int32_t)(-got1);
+              continue;
+            }
+            status[j] = 0;
+            if (got1 < n_samples)
+              memset(dst + got1, 0, sizeof(float) * (size_t)(n_samples - got1));
+            continue;
+          }
+          status[j] = 0;
           if (avail > 0) memcpy(dst, scratch.data() + off, sizeof(float) * (size_t)avail);
           if (avail < n_samples)
             memset(dst + avail, 0, sizeof(float) * (size_t)(n_samples - avail));

@@ -175,6 +175,41 @@ def test_native_flac_grouped_corrupt_file_flags_all_rows(flacs, tmp_path):
     assert ok[1] and np.abs(out[1]).max() > 0
 
 
+def test_native_flac_grouped_midfile_corruption_matches_singles(tmp_path):
+    """Mid-stream corruption: the span decode succeeds partially; chunks
+    after the bad frame must NOT become silent all-zero ok rows — grouped
+    status/audio must match the per-chunk decode exactly (which flags
+    fully-after-failure chunks, triggering the Python-fallback->drop path).
+    """
+    from audioanalysisdetector_tpu.io.flac import write_flac
+
+    rng = np.random.default_rng(11)
+    n = 16000 * 6
+    t = np.arange(n) / 16000.0
+    y = 0.3 * np.sin(2 * np.pi * 150 * t) + 0.05 * rng.standard_normal(n)
+    x = np.round(np.clip(y, -0.999, 0.999) * 32767).astype(np.int64)
+    p = str(tmp_path / "mid.flac")
+    write_flac(p, x, 16000)
+    raw = bytearray(open(p, "rb").read())
+    raw[int(len(raw) * 0.55)] ^= 0xFF  # corrupt a frame ~60% in
+    with open(p, "wb") as f:
+        f.write(bytes(raw))
+
+    paths, starts = [p, p, p], [0.0, 2.0, 4.0]
+    ends = [s + 2.0 for s in starts]
+    grouped, g_ok = load_chunk_batch_native(paths, starts, ends, sr=16000, return_ok=True)
+    singles, s_ok = [], []
+    for pp, s, e in zip(paths, starts, ends):
+        r, o = load_chunk_batch_native([pp], [s], [e], sr=16000, return_ok=True)
+        singles.append(r[0])
+        s_ok.append(o[0])
+    np.testing.assert_array_equal(g_ok, np.asarray(s_ok))
+    for g, s, o in zip(grouped, singles, s_ok):
+        if o:  # failed rows' buffers are fallback-dependent; compare ok rows
+            np.testing.assert_array_equal(g, s)
+    assert g_ok[0] and not g_ok[2]  # prefix decodes, post-corruption flagged
+
+
 def test_native_mixed_wav_flac_batch(wavs, flacs):
     paths = [wavs[0], flacs[0], wavs[1], flacs[1]]
     starts = [0.0, 0.0, 1.0, 1.0]
