@@ -235,7 +235,14 @@ def cmd_train(args) -> int:
     mel_cfg = _mel_cfg(args)
     feats = np.asarray(jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))(jnp.asarray(wav)))
     split = max(int(len(paths) * 0.8), 1)
-    model = CNNBiLSTMHybrid(logits=True)
+    # Data parallelism over local devices: fit() auto-shards only BN-free
+    # models (per-shard BN forward would silently change numerics), so for
+    # the BatchNorm hybrid we opt in EXPLICITLY with a sync-BN model — the
+    # bn_axis_name pmean makes the sharded step numerically the global-batch
+    # step (train/loop._pick_dp_mesh).
+    n_dev = jax.local_device_count()
+    use_dp = n_dev > 1 and args.batch_size % n_dev == 0 and args.batch_size >= 4 * n_dev
+    model = CNNBiLSTMHybrid(logits=True, bn_axis_name="data" if use_dp else None)
     variables = model.init(jax.random.PRNGKey(args.seed), jnp.asarray(feats[:1]), train=False)
     state = TrainState.create(
         apply_fn=model.apply,
@@ -247,6 +254,7 @@ def cmd_train(args) -> int:
         state, (feats[:split], y[:split]), (feats[split:], y[split:]),
         loss_name="BCELoss", num_epochs=args.epochs, batch_size=args.batch_size,
         run_dir=args.run_dir, binary_head=True, verbose=True,
+        data_parallel=True if use_dp else None,
     )
     metrics = evaluate(
         result.best_state, (feats[split:], y[split:]), loss_name="BCELoss", binary_head=True

@@ -99,7 +99,9 @@ class FitResult:
     n_compiled_shapes: int = -1  # fit_bucketed: distinct jit cache entries
 
 
-def _pick_dp_mesh(batch_size: int, data_parallel: bool | None):
+def _pick_dp_mesh(
+    batch_size: int, data_parallel: bool | None, has_batch_stats: bool = False
+):
     """Resolve the data-parallel decision for ``fit``.
 
     ``None`` (auto): use every local device when there is more than one,
@@ -108,8 +110,19 @@ def _pick_dp_mesh(batch_size: int, data_parallel: bool | None):
     parallelism buys) — single-device behavior is untouched otherwise.
     ``True``: required; raises if the batch cannot be sharded. ``False``:
     off. Returns a ``Mesh`` or None.
+
+    Auto mode additionally requires ``has_batch_stats=False``: a BatchNorm
+    model built WITHOUT ``bn_axis_name`` normalizes each shard by its own
+    batch statistics under shard_map, which silently changes training
+    numerics vs the single-device run — auto must never do that. BN models
+    opt in explicitly with ``data_parallel=True`` (per-shard BN forward,
+    pmean'd running stats — the standard DP approximation) or, for exact
+    parity, a model constructed with ``bn_axis_name`` matching the mesh
+    axis (sync-BN; ``cli train`` does this).
     """
     if data_parallel is False:
+        return None
+    if data_parallel is None and has_batch_stats:
         return None
     n_dev = jax.local_device_count()
     if n_dev <= 1:
@@ -155,9 +168,17 @@ def fit(
     Gradients are pmean-reduced over ICI — numerically the global batch mean,
     identical to the single-device step up to float reassociation (dropout
     draws differ: shards decorrelate their masks by design, train/steps.py).
+    Auto mode never engages for ``has_batch_stats=True`` models — per-shard
+    BatchNorm forward statistics would change numerics without opt-in (see
+    ``_pick_dp_mesh``); BN models pass ``data_parallel=True`` explicitly,
+    ideally built with ``bn_axis_name`` for exact sync-BN parity.
     """
     loss_fn = get_loss(loss_name)
-    mesh = _pick_dp_mesh(batch_size, data_parallel) if step_fn is None else None
+    mesh = (
+        _pick_dp_mesh(batch_size, data_parallel, has_batch_stats)
+        if step_fn is None
+        else None
+    )
     if mesh is not None:
         from audioanalysisdetector_tpu.train.steps import make_dp_train_step, replicate
 
