@@ -80,9 +80,9 @@ def _mel_cfg(args):
     Train and score with the SAME profile — features must match."""
     from audioanalysisdetector_tpu.frontend.mel import MelConfig
 
-    if getattr(args, "mel_profile", "parity") == "speech":
-        return MelConfig.for_speech(args.sr, n_mels=args.n_mels)
-    return MelConfig(sr=args.sr, n_mels=args.n_mels)
+    return MelConfig.for_profile(
+        getattr(args, "mel_profile", "parity"), args.sr, n_mels=args.n_mels
+    )
 
 
 def cmd_score(args) -> int:
@@ -661,10 +661,10 @@ def cmd_serve(args) -> int:
     )
     if args.buckets:
         buckets = tuple(int(b) for b in args.buckets.split(","))
-    else:  # default ladder: powers of two up to max_batch
-        buckets = tuple(
-            sorted({max(1, args.max_batch >> k) for k in range(3, -1, -1)})
-        )
+    else:
+        from audioanalysisdetector_tpu.serve.server import default_bucket_ladder
+
+        buckets = default_bucket_ladder(args.max_batch)
     batcher = BatchingScorer(
         scorer,
         n_samples=n_samples,

@@ -140,6 +140,19 @@ class MelConfig:
         n_fft = 1 << (n_fft - 1).bit_length()
         return cls(sr=sr, n_fft=n_fft, hop_length=n_fft // 2, n_mels=n_mels)
 
+    @classmethod
+    def for_profile(
+        cls, profile: str, sr: int = 16000, *, n_mels: int = 64
+    ) -> "MelConfig":
+        """Resolve a named front-end profile — the ONE place train/score/
+        serve/bench map ``"parity"``/``"speech"`` to a config, so the
+        resolutions cannot silently diverge between entry points."""
+        if profile == "speech":
+            return cls.for_speech(sr, n_mels=n_mels)
+        if profile == "parity":
+            return cls(sr=sr, n_mels=n_mels)
+        raise ValueError(f"unknown mel profile {profile!r} (parity|speech)")
+
 
 def melspectrogram(y: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
     """Mel power spectrogram of ``(..., n)`` waveforms -> ``(..., n_mels, T)``."""

@@ -54,6 +54,13 @@ class ServiceOverloaded(RuntimeError):
     """Raised when the request queue is full (mapped to HTTP 503)."""
 
 
+def default_bucket_ladder(max_batch: int) -> tuple[int, ...]:
+    """Powers-of-two dispatch-size ladder up to ``max_batch`` — the shared
+    default for ``cli serve`` and the serving bench (one definition, so the
+    measured ladder and the shipped ladder cannot drift)."""
+    return tuple(sorted({max(1, int(max_batch) >> k) for k in range(3, -1, -1)}))
+
+
 @dataclass
 class ServeStats:
     """Counters exposed at ``GET /v1/stats`` (all monotonically increasing)."""
@@ -67,7 +74,7 @@ class ServeStats:
     errors: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
-    def snapshot(self, max_batch: int) -> dict:
+    def snapshot(self) -> dict:
         with self._lock:
             fill = (
                 self.batch_rows / self.dispatched_rows if self.dispatched_rows else 0.0
@@ -83,15 +90,22 @@ class ServeStats:
 
 
 class _Pending:
-    """One enqueued request slice: ``wav`` rows in, scores (or an error) out."""
+    """One enqueued request slice: ``wav`` rows in, scores (or an error) out.
 
-    __slots__ = ("wav", "done", "result", "error")
+    ``cancelled`` marks a slice whose request was rejected after this slice
+    was already queued (multi-slice request hitting a full queue mid-
+    enqueue) — the worker discards it instead of wasting a dispatch on rows
+    nobody will read, precisely when the chip is saturated.
+    """
+
+    __slots__ = ("wav", "done", "result", "error", "cancelled")
 
     def __init__(self, wav: np.ndarray):
         self.wav = wav
         self.done = threading.Event()
         self.result: np.ndarray | None = None
         self.error: BaseException | None = None
+        self.cancelled = False
 
 
 class BatchingScorer:
@@ -145,6 +159,10 @@ class BatchingScorer:
         self._q: "_queue.Queue[_Pending | None]" = _queue.Queue(maxsize=queue_depth)
         self._carry: _Pending | None = None  # overflow item held for the next batch
         self._stop = threading.Event()
+        # serializes "check _stop + enqueue" against close()'s final drain,
+        # so a request can never slip into the queue after the worker exited
+        # (it would otherwise block until the request timeout)
+        self._enqueue_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="batching-scorer", daemon=True
         )
@@ -168,16 +186,23 @@ class BatchingScorer:
             raise ValueError(
                 f"expected (k, {self.n_samples}) waveform rows, got {wav.shape}"
             )
-        if self._stop.is_set():
-            raise RuntimeError("BatchingScorer is closed")
         slices = [
             _Pending(wav[i : i + self.max_batch])
             for i in range(0, len(wav), self.max_batch)
         ]
-        for p in slices:
+        with self._enqueue_lock:
+            if self._stop.is_set():
+                raise RuntimeError("BatchingScorer is closed")
+            enqueued: list[_Pending] = []
             try:
-                self._q.put(p, timeout=0.5)
+                for p in slices:
+                    self._q.put(p, timeout=0.5)
+                    enqueued.append(p)
             except _queue.Full:
+                # all-or-nothing: cancel the slices already queued so the
+                # worker doesn't burn dispatches on a rejected request
+                for p in enqueued:
+                    p.cancelled = True
                 with self.stats._lock:
                     self.stats.rejected += 1
                 raise ServiceOverloaded(
@@ -196,10 +221,23 @@ class BatchingScorer:
 
     def close(self) -> None:
         """Stop the worker; in-flight requests finish, new ones are refused."""
+        import queue as _queue
+
         if not self._stop.is_set():
             self._stop.set()
             self._q.put(None)  # wake the worker
             self._worker.join(timeout=30.0)
+        # fail anything that raced past the _stop check into the queue —
+        # under _enqueue_lock, so no new put can interleave with the drain
+        with self._enqueue_lock:
+            while True:
+                try:
+                    p = self._q.get_nowait()
+                except _queue.Empty:
+                    break
+                if p is not None:
+                    p.error = RuntimeError("BatchingScorer is closed")
+                    p.done.set()
 
     # ---- device worker ---------------------------------------------------
 
@@ -208,12 +246,16 @@ class BatchingScorer:
         closes or the row budget fills. Returns None on shutdown wake."""
         import queue as _queue
 
-        if self._carry is not None:
-            first, self._carry = self._carry, None
-        else:
+        first = None
+        if self._carry is not None and not self._carry.cancelled:
+            first = self._carry
+        self._carry = None
+        while first is None:
             first = self._q.get()
             if first is None:
                 return None
+            if first.cancelled:  # rejected mid-enqueue: discard silently
+                first = None
         batch = [first]
         rows = len(first.wav)
         deadline = time.monotonic() + self.max_wait_s
@@ -228,6 +270,8 @@ class BatchingScorer:
             if item is None:  # shutdown sentinel: ship what we have
                 self._stop.set()
                 break
+            if item.cancelled:
+                continue
             if rows + len(item.wav) > self.max_batch:
                 self._carry = item  # starts the next batch
                 break
@@ -365,9 +409,7 @@ class ScoreServer:
                 if self.path == "/healthz":
                     self._reply(200, outer._health())
                 elif self.path == "/v1/stats":
-                    self._reply(
-                        200, outer.batcher.stats.snapshot(outer.batcher.max_batch)
-                    )
+                    self._reply(200, outer.batcher.stats.snapshot())
                 else:
                     self._reply(404, {"error": f"no route {self.path}"})
 
@@ -492,11 +534,7 @@ def build_mel_scorer(
     from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
     from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
 
-    mel_cfg = (
-        MelConfig.for_speech(sr, n_mels=n_mels)
-        if mel_profile == "speech"
-        else MelConfig(sr=sr, n_mels=n_mels)
-    )
+    mel_cfg = MelConfig.for_profile(mel_profile, sr, n_mels=n_mels)
     n_samples = int(seconds * sr)
     model = CNNBiLSTMHybrid()
     t_frames = 1 + n_samples // mel_cfg.hop_length
@@ -513,6 +551,10 @@ def build_mel_scorer(
     jitted = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
 
     n_dev = jax.local_device_count()
+    if data_parallel is True and n_dev <= 1:
+        # mirror train/loop._pick_dp_mesh: an explicit sharding request on a
+        # single-device host is an operator error, not a silent no-op
+        raise ValueError("data_parallel=True but only one local device")
     use_dp = n_dev > 1 if data_parallel is None else data_parallel
     if use_dp and n_dev > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec

@@ -83,7 +83,7 @@ def main() -> None:
     dt = time.perf_counter() - t0
     utt_per_sec = batch * n_iters / dt
 
-    # second lane: the production speech front-end profile (25 ms window /
+    # second lane: the production speech front-end profile (32 ms window /
     # 16 ms hop — MelConfig.for_speech). The headline above keeps librosa's
     # 2048-point default as the parity contract; this lane is the same
     # model on the profile a 16 kHz deployment would actually run

@@ -116,7 +116,7 @@ def main() -> None:
         for t in threads:
             t.join()
         served_s = time.perf_counter() - t0
-        stats = batcher.stats.snapshot(max_batch)
+        stats = batcher.stats.snapshot()
         server.close()
         lat = np.sort(latencies)
         return {
@@ -128,7 +128,9 @@ def main() -> None:
         }
 
     fixed = run_served(None)
-    ladder = tuple(sorted({max(1, max_batch >> k) for k in range(3, -1, -1)}))
+    from audioanalysisdetector_tpu.serve.server import default_bucket_ladder
+
+    ladder = default_bucket_ladder(max_batch)
     bucketed = run_served(ladder)
 
     print(

@@ -10,6 +10,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -59,7 +60,7 @@ def test_batcher_aggregates_concurrent_requests():
         # coalesce into far fewer device dispatches than requests
         assert len(calls) < 8, calls
         assert all(shape == (8, N) for shape in calls)  # one compiled shape
-        snap = b.stats.snapshot(8)
+        snap = b.stats.snapshot()
         assert snap["requests"] == 8 and snap["utterances"] == 8
         assert snap["batches"] == len(calls)
     finally:
@@ -94,7 +95,7 @@ def test_batcher_error_propagates_and_service_survives():
             b.score(np.ones((1, N), np.float32))
         out = b.score(np.full((1, N), 2.0, np.float32))  # next request is fine
         np.testing.assert_allclose(out, [2.0 * N])
-        assert b.stats.snapshot(4)["errors"] == 1
+        assert b.stats.snapshot()["errors"] == 1
     finally:
         b.close()
 
@@ -107,6 +108,64 @@ def test_batcher_close_stops_worker_and_refuses_new_work():
     assert not b._worker.is_alive()
     with pytest.raises(RuntimeError, match="closed"):
         b.score(np.ones((1, N), np.float32))
+
+
+def test_batcher_rejected_request_cancels_queued_slices():
+    """A multi-slice request that hits a full queue mid-enqueue must not
+    leave orphan slices for the worker to score (wasted dispatches at
+    exactly the moment the chip is saturated)."""
+    scorer, calls = _sum_scorer()
+    b = BatchingScorer(
+        scorer, n_samples=N, max_batch=4, max_wait_ms=1.0, queue_depth=2
+    )
+    # wedge the worker: occupy it with a slow item so the queue stays full
+    gate = threading.Event()
+    slow_scorer_hit = threading.Event()
+    orig = b._scorer
+
+    def slow(batch):
+        slow_scorer_hit.set()
+        gate.wait(5.0)
+        return orig(batch)
+
+    b._scorer = slow
+    t = threading.Thread(target=lambda: b.score(np.ones((1, N), np.float32)))
+    t.start()
+    assert slow_scorer_hit.wait(5.0)
+    # while the worker is wedged: one 4-row request sits in the queue, then
+    # a 12-row request (3 slices) overflows depth 2 on its second slice
+    filler = threading.Thread(target=lambda: b.score(np.ones((4, N), np.float32)))
+    filler.start()
+    time.sleep(0.1)
+    with pytest.raises(ServiceOverloaded):
+        b.score(np.ones((12, N), np.float32))
+    gate.set()
+    t.join(5.0)
+    filler.join(5.0)
+    b.close()
+    # every dispatched row belongs to the wedge/filler (1 + 4); the rejected
+    # request's already-queued slice was discarded, not scored
+    assert b.stats.batch_rows == 5
+    assert b.stats.rejected == 1
+
+
+def test_batcher_score_after_close_fails_fast_not_timeout():
+    """A request that slips past the _stop check while close() runs must be
+    failed by the drain, not left hanging until the request timeout."""
+    scorer, _ = _sum_scorer()
+    b = BatchingScorer(scorer, n_samples=N, max_batch=4, max_wait_ms=1.0)
+    b.close()
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.score(np.ones((1, N), np.float32), timeout=30.0)
+    assert time.monotonic() - t0 < 5.0
+    # and even a pending that somehow entered the queue gets failed by drain
+    from audioanalysisdetector_tpu.serve.server import _Pending
+
+    p = _Pending(np.ones((1, N), np.float32))
+    b._q.put(p)
+    b.close()  # idempotent close re-drains
+    assert p.done.is_set() and isinstance(p.error, RuntimeError)
 
 
 @pytest.fixture()
