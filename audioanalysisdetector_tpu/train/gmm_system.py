@@ -81,16 +81,19 @@ def train_gmm_system(
 
     full = adapt_mode == "full"
     t0 = time.time()
+    # ONE compiled program per class instead of ~15 op-by-op dispatches —
+    # on tunneled runtimes each eager op is a separate RPC (CLAUDE.md:
+    # never run repo jnp code eagerly on the TPU)
+    map_jit = jax.jit(
+        lambda g, x, w: map_adapt(
+            g, x, relevance_factor=relevance_factor, frame_weights=w,
+            adapt_vars=full, adapt_weights=full,
+        )
+    )
     w_genuine = jnp.asarray((frame_labels == 0).astype(np.float32))
-    gmm_genuine = map_adapt(
-        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_genuine,
-        adapt_vars=full, adapt_weights=full,
-    )
+    gmm_genuine = map_jit(ubm, xd, w_genuine)
     w_spoof = jnp.asarray((frame_labels == 1).astype(np.float32))
-    gmm_spoof = map_adapt(
-        ubm, xd, relevance_factor=relevance_factor, frame_weights=w_spoof,
-        adapt_vars=full, adapt_weights=full,
-    )
+    gmm_spoof = map_jit(ubm, xd, w_spoof)
     if verbose:
         print(f"MAP adaptation done in {time.time() - t0:.2f}s")
 
