@@ -48,11 +48,16 @@ def main() -> None:
     assert np.isfinite(float(jnp.sum(ubm.means)))  # force the async chain
     t_ubm = time.time() - t0
 
-    t0 = time.time()
     half = n_frames // 2
     w = jnp.concatenate([jnp.ones(half), jnp.zeros(n_frames - half)])
-    g1 = map_adapt(ubm, xd, frame_weights=w)
-    g2 = map_adapt(ubm, xd, frame_weights=1.0 - w)
+    # jitted like the product path (train/gmm_system): one dispatch per
+    # class instead of ~15 op-by-op tunnel RPCs; compile outside the
+    # timed region like every other bench here
+    map_jit = jax.jit(lambda g, x, fw: map_adapt(g, x, frame_weights=fw))
+    assert np.isfinite(float(jnp.sum(map_jit(ubm, xd, w).means)))
+    t0 = time.time()
+    g1 = map_jit(ubm, xd, w)
+    g2 = map_jit(ubm, xd, 1.0 - w)
     assert np.isfinite(float(jnp.sum(g1.means) + jnp.sum(g2.means)))
     t_map = time.time() - t0
 
