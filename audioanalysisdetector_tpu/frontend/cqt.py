@@ -156,6 +156,12 @@ def _decim_block_for(n: int) -> int | None:
     A divisor block lets the signal reshape into whole blocks for free (no
     global pad copy); [128, 512] keeps the banded operator's FLOP overspend
     ((block+62)/63 ≈ 3-9x) cheap relative to the HBM traffic it saves.
+
+    Block size is a free parameter in practice: forcing 128 / 256 / 512
+    across the whole 6-stage batch-4096 chain measured 4.17 / 4.14 / 4.15 ms
+    — the stage is HBM-bound (~1.6 GB of traffic ≈ 2.8 ms at the ~575 GB/s
+    streaming rate), so the banded zero-FLOPs are hidden and shrinking them
+    buys nothing. Measured round 3; revisit only if the memory system changes.
     """
     best = None
     for b in range(128, 513, 2):
