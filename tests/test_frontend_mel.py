@@ -99,3 +99,15 @@ def test_mel_parity_at_22050(rng):
     ref = np_ref.melspectrogram_ref(y, 22050, n_mels=64)
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_mel_profile_resolver():
+    """MelConfig.for_profile is the single train/score/serve profile map."""
+    import pytest
+
+    assert MelConfig.for_profile("parity", 16000) == MelConfig(sr=16000, n_mels=64)
+    sp = MelConfig.for_profile("speech", 16000, n_mels=64)
+    assert sp == MelConfig.for_speech(16000, n_mels=64)
+    assert (sp.n_fft, sp.hop_length) == (512, 256)  # 32 ms / 16 ms at 16 kHz
+    with pytest.raises(ValueError, match="unknown mel profile"):
+        MelConfig.for_profile("music", 16000)
