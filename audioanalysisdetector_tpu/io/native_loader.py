@@ -19,12 +19,50 @@ import numpy as np
 
 from audioanalysisdetector_tpu.io.audio import AudioInfo, load_audio
 
-_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-_SRCS = [
-    os.path.abspath(os.path.join(_NATIVE_DIR, "wavloader.cpp")),
-    os.path.abspath(os.path.join(_NATIVE_DIR, "flacdec.cpp")),
-]
-_LIB = os.path.abspath(os.path.join(_NATIVE_DIR, "libwavloader.so"))
+_SRC_NAMES = ("wavloader.cpp", "flacdec.cpp")
+
+
+def _find_native_dir() -> str | None:
+    """Locate the C++ sources in either layout.
+
+    Source tree: ``<repo>/native`` (two levels above this file). Installed
+    wheel: the ``audioanalysisdetector_tpu.native`` subpackage (pyproject
+    package-dir maps the top-level directory there).
+    """
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for cand in (
+        os.path.join(os.path.dirname(pkg_root), "native"),
+        os.path.join(pkg_root, "native"),
+    ):
+        if all(os.path.exists(os.path.join(cand, s)) for s in _SRC_NAMES):
+            return cand
+    return None
+
+
+_NATIVE_DIR = _find_native_dir()
+_SRCS = [os.path.join(_NATIVE_DIR or "", s) for s in _SRC_NAMES]
+
+
+def _lib_path() -> str:
+    """Where to drop the built .so: next to the sources if writable (keeps
+    the repo layout), else a per-user cache dir (installed site-packages are
+    often read-only)."""
+    if _NATIVE_DIR is not None and os.access(_NATIVE_DIR, os.W_OK):
+        return os.path.join(_NATIVE_DIR, "libwavloader.so")
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    cache_dir = os.path.join(cache_root, "audioanalysisdetector_tpu")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError:
+        import tempfile
+
+        cache_dir = tempfile.gettempdir()
+    return os.path.join(cache_dir, "libwavloader.so")
+
+
+_LIB = _lib_path()
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
@@ -57,7 +95,7 @@ def get_lib() -> ctypes.CDLL | None:
             if os.path.exists(s)
         )
         if stale:
-            if not all(os.path.exists(s) for s in _SRCS) or not _build():
+            if _NATIVE_DIR is None or not _build():
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_LIB)
