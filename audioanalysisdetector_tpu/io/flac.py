@@ -102,10 +102,13 @@ class _BitReader:
         self.n = 0
 
     def read(self, bits: int) -> int:
-        while self.n < bits:
-            self.acc = (self.acc << 8) | self.data[self.byte]
-            self.byte += 1
-            self.n += 8
+        try:
+            while self.n < bits:
+                self.acc = (self.acc << 8) | self.data[self.byte]
+                self.byte += 1
+                self.n += 8
+        except IndexError:
+            raise FlacError("truncated stream") from None
         self.n -= bits
         val = self.acc >> self.n
         self.acc &= (1 << self.n) - 1
@@ -120,6 +123,8 @@ class _BitReader:
         q = 0
         while True:
             if self.n == 0:
+                if self.byte >= len(self.data):
+                    raise FlacError("truncated stream")
                 self.acc = self.data[self.byte]
                 self.byte += 1
                 self.n = 8
