@@ -1,4 +1,4 @@
-"""Corruption fuzz over the in-repo FLAC codec (Python + native).
+"""Corruption fuzz over the host decode layer (FLAC + WAV, Python + native).
 
 The targeted corruption tests (test_flac.py / test_native_loader.py) hit
 specific frame positions; this sweep flips single bytes at seeded random
@@ -102,3 +102,48 @@ def test_native_decoder_fuzz_matches_python_verdicts(flac_bytes):
     # must never smear garbage into rows flagged ok with wrong scale)
     assert np.abs(out[ok]).max() <= 1.0
     assert ok.sum() > 0 and (~ok).sum() > 0
+
+
+def test_wav_fuzz_error_contract(tmp_path):
+    """WAV has no CRC, so corruption can't always be *detected* — the
+    contract is that ``load_audio`` either decodes or raises one of the
+    exception types every caller catches (chunk_rows, the native loader's
+    Python fallback), never an unhandled type, and the native batch loader
+    never crashes and always returns in-range floats on ok rows."""
+    import wave as wave_mod
+
+    from audioanalysisdetector_tpu.io.audio import load_audio, write_wav
+
+    rng = np.random.default_rng(3)
+    t = np.arange(SR * SECONDS) / SR
+    clean_path = str(tmp_path / "clean.wav")
+    write_wav(clean_path, (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), SR)
+    raw = open(clean_path, "rb").read()
+
+    allowed = (RuntimeError, OSError, EOFError, ValueError, wave_mod.Error)
+    paths = []
+    for i in range(120):
+        kind = i % 3
+        if kind == 0:  # byte flip
+            mut = _mutated(raw, int(rng.integers(0, len(raw))), int(rng.integers(1, 256)))
+        elif kind == 1:  # truncation
+            mut = raw[: int(rng.integers(0, len(raw)))]
+        else:  # header-area flip (chunk sizes, fmt fields)
+            mut = _mutated(raw, int(rng.integers(0, min(64, len(raw)))), int(rng.integers(1, 256)))
+        p = str(tmp_path / f"wmut_{i}.wav")
+        with open(p, "wb") as f:
+            f.write(mut)
+        paths.append(p)
+        try:
+            y, sr_out = load_audio(p)
+            assert y.dtype == np.float32
+        except allowed:
+            pass
+
+    if native_available():
+        out, ok = load_chunk_batch_native(
+            paths, [0.0] * len(paths), [float(SECONDS)] * len(paths),
+            sr=SR, return_ok=True,
+        )
+        assert out.shape == (len(paths), SR * SECONDS)
+        assert np.isfinite(out).all()
