@@ -398,6 +398,12 @@ def decode_flac(path: str) -> tuple[np.ndarray, FlacStreamInfo]:
         block, pos = _decode_frame(data, pos, info)
         blocks.append(block)
         total += block.shape[0]
+    if info.total_samples and total < info.total_samples:
+        # the stream ended cleanly at a frame boundary but short of what
+        # STREAMINFO declared — a truncated file, not a short stream
+        raise FlacError(
+            f"truncated stream: {total} of {info.total_samples} declared samples"
+        )
     if not blocks:
         return np.zeros((0, info.channels), dtype=np.int32), info
     out = np.concatenate(blocks, axis=0)

@@ -43,12 +43,31 @@ _NATIVE_DIR = _find_native_dir()
 _SRCS = [os.path.join(_NATIVE_DIR or "", s) for s in _SRC_NAMES]
 
 
+def _src_digest() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for s in _SRCS:
+        try:
+            with open(s, "rb") as f:
+                h.update(f.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:12]
+
+
 def _lib_path() -> str:
     """Where to drop the built .so: next to the sources if writable (keeps
-    the repo layout), else a per-user cache dir (installed site-packages are
-    often read-only)."""
+    the repo layout), else a per-user cache dir (installed site-packages
+    are often read-only). The cache name is keyed on a source digest so
+    (a) two installed versions sharing one cache never load each other's
+    build and (b) the mtime staleness check can't be satisfied by a file
+    someone else planted — a digest mismatch is a different path entirely.
+    As a last resort a fresh private tempdir is used (never a predictable
+    name in a world-writable directory, since this file is ctypes-loaded)."""
     if _NATIVE_DIR is not None and os.access(_NATIVE_DIR, os.W_OK):
         return os.path.join(_NATIVE_DIR, "libwavloader.so")
+    name = f"libwavloader-{_src_digest()}.so"
     cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
         os.path.expanduser("~"), ".cache"
     )
@@ -58,8 +77,8 @@ def _lib_path() -> str:
     except OSError:
         import tempfile
 
-        cache_dir = tempfile.gettempdir()
-    return os.path.join(cache_dir, "libwavloader.so")
+        cache_dir = tempfile.mkdtemp(prefix="aad_tpu_native_")
+    return os.path.join(cache_dir, name)
 
 
 _LIB = _lib_path()

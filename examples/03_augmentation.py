@@ -41,12 +41,13 @@ def main() -> None:
     }
     for name, wav in variants.items():
         path = os.path.join(out_dir, f"{name}.wav")
-        write_wav(path, np.asarray(wav[0]), SR)
-        print(f"{name:>10}: rms {float(jnp.sqrt(jnp.mean(wav**2))):.4f} -> {path}")
+        host = np.asarray(wav[0])  # one fetch; stats in numpy (never eager jnp)
+        write_wav(path, host, SR)
+        print(f"{name:>10}: rms {float(np.sqrt(np.mean(host**2))):.4f} -> {path}")
 
     # SpecAugment operates on feature maps, not waveforms
     feats = jnp.ones((1, 64, 63))
-    masked = jax.jit(spec_augment)(feats, key)
+    masked = np.asarray(jax.jit(spec_augment)(feats, key))
     print(f"spec_augment: {float((masked == 0).mean()):.1%} of the map masked")
 
     # the 0.8/0.5 expansion policy (reference/ASV_dl_func.py:96-127): with

@@ -56,17 +56,19 @@ def main() -> None:
     instance = x[int(np.argmax(y))]  # one spoof chunk, (T=63, F=19) scaled
 
     # 1. LIME over the FUSED scorer. lime takes (F, T) maps; the fused
-    # scorer takes time-major (T, F) — adapt with a transpose.
+    # scorer takes time-major (T, F) — the transpose lives INSIDE the jit
+    # (eager jnp ops cost seconds per dispatch on tunneled TPU runtimes).
     fused = make_fused_scorer(apply_fn, variables, g_gen, g_spoof)
-    lime = lime_single_instance(
-        lambda b: fused(jnp.swapaxes(b, -1, -2)), instance.T, mode="feature"
-    )
+    fused_ft = jax.jit(lambda b: fused(jnp.swapaxes(b, -1, -2)))
+    lime = lime_single_instance(fused_ft, instance.T, mode="feature")
     print(f"LIME: score {lime['score']:.3f}, top coefficients {lime['top_components']}")
 
-    # 2-4. IG + occlusion + GMM windowed SHAP + comparison, one call
-    def gmm_prob(batch):  # (B, T, F) -> sigmoid LLR, the reference's GMM arm
+    # 2-4. IG + occlusion + GMM windowed SHAP + comparison, one call.
+    # Spoof-polarity LLR (spoof model first), matching score/fused.py's
+    # arm — so the SHAP map's sign agrees with the BiLSTM maps' target=spoof
+    def gmm_prob(batch):  # (B, T, F) -> P(spoof) via sigmoid LLR
         mask = padding_mask(batch)
-        return jax.nn.sigmoid(masked_llr(batch, mask, g_gen, g_spoof))
+        return jax.nn.sigmoid(masked_llr(batch, mask, g_spoof, g_gen))
 
     cmp = compare_gmm_bilstm(
         instance,

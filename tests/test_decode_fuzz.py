@@ -56,14 +56,23 @@ def test_python_decoder_fuzz(flac_bytes):
         try:
             out, info = decode_flac(p)
             decoded += 1
-            # a successful decode must still report a coherent shape
-            assert np.asarray(out).shape[-1] == info.total_samples or info.total_samples == 0
+            # a successful decode must deliver every declared sample
+            # (n_samples is axis 0; axis -1 is channels)
+            assert info.total_samples == 0 or out.shape[0] == info.total_samples
         except FlacError:
             failed += 1
-    # both outcomes must occur across the sweep: header/CRC bytes break
-    # the stream, padding and post-resync bytes survive
     assert decoded + failed == 120
-    assert failed > 0
+    assert failed > 0  # CRC/header flips must be caught, not decoded over
+
+    # deterministic benign mutation so the success path is ALWAYS
+    # exercised (random flips almost always land in CRC-protected bytes):
+    # STREAMINFO's MD5 field (bytes 26..41) is ignored by the decoder
+    p = str(root / "mut_md5.flac")
+    with open(p, "wb") as f:
+        f.write(_mutated(raw, 30, 0xFF))
+    out, info = decode_flac(p)
+    assert out.shape[0] == info.total_samples == clean.shape[0]
+    assert np.array_equal(out.reshape(-1), clean)
 
 
 def test_python_decoder_truncation_fuzz(flac_bytes):
@@ -97,11 +106,11 @@ def test_native_decoder_fuzz_matches_python_verdicts(flac_bytes):
     )
     assert out.shape == (len(paths), SR * SECONDS)
     assert np.isfinite(out).all()
+    assert ok.sum() > 0 and (~ok).sum() > 0
     # rows that claim success must be sample-exact wherever the stream
     # decoded (corruption inside one frame may zero that frame's span but
     # must never smear garbage into rows flagged ok with wrong scale)
     assert np.abs(out[ok]).max() <= 1.0
-    assert ok.sum() > 0 and (~ok).sum() > 0
 
 
 def test_wav_fuzz_error_contract(tmp_path):
