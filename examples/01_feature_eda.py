@@ -6,6 +6,11 @@ corpus in one jitted call per feature, and the per-class statistics the
 notebook eyeballed come out as printed tables.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root run, no install needed
+
 import tempfile
 
 import jax

@@ -9,6 +9,10 @@ command; `train-fused` is the directory-labeled variant.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root run, no install needed
+
 import tempfile
 
 import jax

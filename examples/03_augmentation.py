@@ -8,6 +8,10 @@ dataset expansion policy applied to a chunk DataFrame.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root run, no install needed
+
 import tempfile
 
 import jax

@@ -7,6 +7,10 @@ rescue CSVs. `data.prepare_dirs_dataset` is that builder (reference
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root run, no install needed
+
 import tempfile
 
 import numpy as np

@@ -10,6 +10,11 @@ attribution family the reference has on one instance:
   (reference/tets_xai.py:94-186)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))  # repo-root run, no install needed
+
 import tempfile
 
 import jax
