@@ -81,6 +81,35 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     utt_s = batch * n_iters / dt
+
+    # second lane: the 16 kHz speech front-end profile (512-point window /
+    # hop 256 — MelConfig.for_speech), the same profile the scoring bench
+    # reports. Training is mel-dominated exactly like scoring, so the
+    # deployment profile should speed it up comparably.
+    sp_cfg = MelConfig.for_speech(sr=sr, n_mels=64)
+    sp_model = CNNBiLSTMHybrid(logits=True)
+    sp_feats0 = jnp.zeros((1, sp_cfg.n_mels, 1 + sr * seconds // sp_cfg.hop_length))
+    sp_vars = sp_model.init(jax.random.PRNGKey(0), sp_feats0, train=False)
+    sp_state = TrainState.create(
+        apply_fn=sp_model.apply,
+        params=sp_vars["params"],
+        batch_stats=sp_vars["batch_stats"],
+        tx=optax.adam(1e-4),
+    )
+
+    def sp_train_iter(state, wav, y, rng):
+        feats = melspec_features(wav, sp_cfg)
+        return step(state, feats, y, rng)
+
+    sp_fused = jax.jit(sp_train_iter)
+    sp_state, m = sp_fused(sp_state, wav, y, rng)  # compile
+    assert np.isfinite(float(m["loss"]))
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        sp_state, m = sp_fused(sp_state, wav, y, rng)
+    assert np.isfinite(float(m["loss"]))
+    sp_utt_s = batch * n_iters / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "train_step_mel_cnn_bilstm_throughput",
         "value": round(utt_s, 1),
@@ -88,6 +117,7 @@ def main() -> None:
         "vs_baseline": round(utt_s / BASELINE_UTT_PER_SEC, 2),
         "batch": batch,
         "ms_per_step": round(dt / n_iters * 1000, 2),
+        "speech_profile_utt_s": round(sp_utt_s, 1),
     }))
 
 
