@@ -40,15 +40,17 @@ def _collect_wavs(path: str) -> list[str]:
     return sorted(globlib.glob(path))
 
 
-def _stream_score_batches(paths, seconds, sr, batch_size):
-    """Streaming decode batches — thin alias of the public library API
-    (``score.streaming.stream_decode_batches``): producer-thread native
-    decode overlapping device compute, cancellation-safe teardown."""
-    from audioanalysisdetector_tpu.score.streaming import stream_decode_batches
-
-    return stream_decode_batches(
-        paths, seconds=seconds, sr=sr, batch_size=batch_size
+def _require_decoded(paths: list[str], n_min: int) -> bool:
+    """Re-validate corpus size AFTER decode drops unreadable files — the
+    pre-decode count check alone lets a mostly-corrupt directory shrink
+    below the minimum and crash deep in fit/evaluate with a shape error."""
+    if len(paths) >= n_min:
+        return True
+    print(
+        f"only {len(paths)} files decoded successfully — need at least {n_min}",
+        file=sys.stderr,
     )
+    return False
 
 
 def _load_batch(paths: list[str], seconds: float, sr: int) -> tuple[list[str], np.ndarray]:
@@ -86,12 +88,10 @@ def _mel_cfg(args):
 
 
 def cmd_score(args) -> int:
-    import jax
-    import jax.numpy as jnp
-
-    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
-    from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
-    from audioanalysisdetector_tpu.train.checkpoint import load_payload
+    from audioanalysisdetector_tpu.score.e2e import (
+        init_mel_cnn_bilstm,
+        make_mel_cnn_bilstm_scorer,
+    )
 
     if not args.checkpoint and not args.allow_random:
         print(
@@ -106,18 +106,10 @@ def cmd_score(args) -> int:
         print(f"no WAV files under {args.audio}", file=sys.stderr)
         return 1
     mel_cfg = _mel_cfg(args)
-    model = CNNBiLSTMHybrid()
-    t_frames = 1 + int(args.seconds * args.sr) // mel_cfg.hop_length
-    feats0 = jnp.zeros((1, args.n_mels, t_frames))
-    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
-    if args.checkpoint:
-        # fit() checkpoints carry {step, params, batch_stats, opt_state};
-        # inference needs the trained params AND the trained BN statistics
-        payload = load_payload(args.checkpoint)
-        variables = {
-            "params": payload["params"],
-            "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
-        }
+    # model init + checkpoint contract shared with `serve` (score.e2e)
+    model, variables = init_mel_cnn_bilstm(
+        mel_cfg, int(args.seconds * args.sr), checkpoint=args.checkpoint
+    )
     from audioanalysisdetector_tpu.score.streaming import score_paths
 
     scorer = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
@@ -130,6 +122,7 @@ def cmd_score(args) -> int:
 
 
 def cmd_extract(args) -> int:
+    import jax
     import jax.numpy as jnp
 
     from audioanalysisdetector_tpu.data.pipeline import default_extractors
@@ -146,14 +139,20 @@ def cmd_extract(args) -> int:
     # compute. Feature tensors are large (unlike score's (B,) vectors), so
     # only a 2-batch window stays device-resident — older batches are
     # fetched to host as new ones dispatch, keeping HBM use constant
+    from audioanalysisdetector_tpu.score.streaming import stream_decode_batches
+
+    # ONE jitted program for the extractor — the registry fns are plain
+    # traceable lambdas, and eager per-op dispatch through the TPU tunnel
+    # is pathological (CLAUDE.md: one un-jitted _decimate2 took ~106 s)
+    feature_fn = jax.jit(registry[args.feature])
     kept_all: list[str] = []
     host_parts: list[np.ndarray] = []
     window: list[tuple[int, object]] = []
-    for kept, batch_np in _stream_score_batches(
-        paths, args.seconds, args.sr, args.batch_size
+    for kept, batch_np in stream_decode_batches(
+        paths, seconds=args.seconds, sr=args.sr, batch_size=args.batch_size
     ):
         kept_all.extend(kept)
-        window.append((len(kept), registry[args.feature](jnp.asarray(batch_np))))
+        window.append((len(kept), feature_fn(jnp.asarray(batch_np))))
         if len(window) > 2:
             n, f = window.pop(0)
             host_parts.append(np.asarray(f)[:n])
@@ -231,6 +230,8 @@ def cmd_train(args) -> int:
         return 1
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
+    if not _require_decoded(paths, 4):
+        return 1
     y = _labels_from_dirnames(paths)
     mel_cfg = _mel_cfg(args)
     feats = np.asarray(jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))(jnp.asarray(wav)))
@@ -291,20 +292,31 @@ def cmd_xai(args) -> int:
     model = AntiSpoofingResNet()
     variables = model.init(jax.random.PRNGKey(0), feats, train=False)
 
+    # every attribution runs as ONE jitted program — the library fns are
+    # pure/traceable, but eager evaluation dispatches the ResNet forward/
+    # backward op-by-op through the TPU tunnel (CLAUDE.md hazard)
     methods = args.methods.split(",")
     heatmaps = {}
     if "saliency" in methods:
-        heatmaps["saliency"] = np.asarray(saliency(model.apply, variables, feats)[0])
+        sal = jax.jit(lambda v, f: saliency(model.apply, v, f))(variables, feats)
+        heatmaps["saliency"] = np.asarray(sal[0])
     if "gradcam" in methods:
-        cam = grad_cam(model, variables, feats, output_size=feats.shape[-2:])
+        cam = jax.jit(
+            lambda v, f: grad_cam(model, v, f, output_size=feats.shape[-2:])
+        )(variables, feats)
         heatmaps["grad_cam"] = np.asarray(cam[0])
     if "ig" in methods:
-        ig = integrated_gradients(model.apply, variables, feats, steps=args.ig_steps)
+        ig = jax.jit(
+            lambda v, f: integrated_gradients(model.apply, v, f, steps=args.ig_steps)
+        )(variables, feats)
         heatmaps["integrated_gradients"] = np.abs(np.asarray(ig[0]))
     if "occlusion" in methods:
-        occ = occlusion(model.apply, variables, feats, window=(5, 1))
+        occ = jax.jit(
+            lambda v, f: occlusion(model.apply, v, f, window=(5, 1))
+        )(variables, feats)
         heatmaps["occlusion"] = np.asarray(occ[0])
     if "lime" in methods:
+        @jax.jit
         def scorer(batch):
             logits = model.apply(variables, batch, train=False)
             return jax.nn.softmax(logits, axis=-1)[:, 1]
@@ -324,7 +336,9 @@ def cmd_xai(args) -> int:
     if args.html:
         from audioanalysisdetector_tpu.xai import write_explanation_html
 
-        probs = jax.nn.softmax(model.apply(variables, feats, train=False), axis=-1)
+        probs = jax.jit(
+            lambda v, f: jax.nn.softmax(model.apply(v, f, train=False), axis=-1)
+        )(variables, feats)
         out.append(
             write_explanation_html(
                 os.path.join(args.output_dir, "explanation.html"),
@@ -423,6 +437,8 @@ def cmd_train_fused(args) -> int:
         return 1
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
+    if not _require_decoded(paths, 8):
+        return 1
     y = _labels_from_dirnames(paths)
     import jax
 
@@ -533,6 +549,8 @@ def cmd_train_3features(args) -> int:
         return 1
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
+    if not _require_decoded(paths, 8):
+        return 1
     y = _labels_from_dirnames(paths)
     # one jitted dispatch for all three frontends (eager repo jnp calls
     # dispatch op-by-op through the TPU tunnel — minutes per batch)
@@ -573,6 +591,8 @@ def cmd_train_mfca(args) -> int:
         return 1
     paths = _shuffle(paths, args.seed)
     paths, wav = _load_batch(paths, args.seconds, args.sr)
+    if not _require_decoded(paths, 8):
+        return 1
     y = _labels_from_dirnames(paths)
     mel_cfg = MelConfig(sr=args.sr, n_mels=args.n_mels)
     feats = np.asarray(

@@ -27,6 +27,36 @@ def melspec_features(wav: jnp.ndarray, mel_cfg: MelConfig) -> jnp.ndarray:
     return log_mel_spectrogram(wav, mel_cfg)
 
 
+def init_mel_cnn_bilstm(
+    mel_cfg: MelConfig,
+    n_samples: int,
+    *,
+    checkpoint: str | None = None,
+    seed: int = 0,
+):
+    """(model, variables) for the flagship mel scorer — the ONE place the
+    checkpoint contract lives: ``fit()`` payloads carry the trained params
+    AND the trained BatchNorm statistics (inference needs both). Used by
+    both ``cli score`` and ``serve`` so they can never drift apart."""
+    import jax
+
+    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
+
+    model = CNNBiLSTMHybrid()
+    t_frames = 1 + n_samples // mel_cfg.hop_length
+    feats0 = jnp.zeros((1, mel_cfg.n_mels, t_frames))
+    variables = model.init(jax.random.PRNGKey(seed), feats0, train=False)
+    if checkpoint:
+        from audioanalysisdetector_tpu.train.checkpoint import load_payload
+
+        payload = load_payload(checkpoint)
+        variables = {
+            "params": payload["params"],
+            "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
+        }
+    return model, variables
+
+
 def make_mel_cnn_bilstm_scorer(
     model_apply: Callable,
     variables: dict,

@@ -190,33 +190,49 @@ class BatchingScorer:
             _Pending(wav[i : i + self.max_batch])
             for i in range(0, len(wav), self.max_batch)
         ]
-        with self._enqueue_lock:
-            if self._stop.is_set():
-                raise RuntimeError("BatchingScorer is closed")
-            enqueued: list[_Pending] = []
-            try:
-                for p in slices:
-                    self._q.put(p, timeout=0.5)
-                    enqueued.append(p)
-            except _queue.Full:
-                # all-or-nothing: cancel the slices already queued so the
-                # worker doesn't burn dispatches on a rejected request
-                for p in enqueued:
+        enqueued: list[_Pending] = []
+
+        def _abandon(exc: BaseException) -> None:
+            # best-effort: slices the worker hasn't popped yet are skipped
+            # at pop time, so a dead request doesn't burn device dispatches
+            for p in slices:
+                if not p.done.is_set():
                     p.cancelled = True
-                with self.stats._lock:
-                    self.stats.rejected += 1
-                raise ServiceOverloaded(
-                    "request queue full — the chip is saturated; retry with backoff"
-                ) from None
+            raise exc
+
+        for p in slices:
+            # the lock serializes ONLY "check _stop + put_nowait" against
+            # close()'s final drain; the backpressure wait happens with the
+            # lock RELEASED, so one large request under a full queue can't
+            # head-of-line-block every other request's enqueue (or close())
+            slice_deadline = time.monotonic() + 0.5
+            while True:
+                with self._enqueue_lock:
+                    if self._stop.is_set():
+                        _abandon(RuntimeError("BatchingScorer is closed"))
+                    try:
+                        self._q.put_nowait(p)
+                        enqueued.append(p)
+                        break
+                    except _queue.Full:
+                        pass
+                if time.monotonic() >= slice_deadline:
+                    with self.stats._lock:
+                        self.stats.rejected += 1
+                    _abandon(ServiceOverloaded(
+                        "request queue full — the chip is saturated; "
+                        "retry with backoff"
+                    ))
+                time.sleep(0.005)
         with self.stats._lock:
             self.stats.requests += 1
             self.stats.utterances += len(wav)
         deadline = time.monotonic() + timeout
         for p in slices:
             if not p.done.wait(max(0.0, deadline - time.monotonic())):
-                raise TimeoutError(f"scoring timed out after {timeout}s")
+                _abandon(TimeoutError(f"scoring timed out after {timeout}s"))
             if p.error is not None:
-                raise p.error
+                _abandon(p.error)
         return np.concatenate([p.result for p in slices])
 
     def close(self) -> None:
@@ -333,6 +349,8 @@ def _decode_b64_audio(b64: str, fmt: str, sr: int) -> np.ndarray:
     """
     from audioanalysisdetector_tpu.io.audio import load_audio
 
+    if not isinstance(fmt, str):
+        raise ValueError(f"'format' must be a string, got {type(fmt).__name__}")
     fmt = fmt.lower().lstrip(".")
     if fmt not in ("wav", "flac"):
         raise ValueError(f"unsupported audio format {fmt!r} (wav|flac)")
@@ -352,6 +370,10 @@ def _fit_rows(y: np.ndarray, n_samples: int) -> np.ndarray:
     y = np.atleast_2d(np.asarray(y, dtype=np.float32))
     if y.ndim != 2:
         raise ValueError(f"pcm must be 1-D or 2-D, got ndim={y.ndim}")
+    if y.size == 0:
+        # an empty payload would otherwise zero-pad into a fabricated
+        # silent row and come back with a confident score
+        raise ValueError("empty audio payload")
     out = np.zeros((y.shape[0], n_samples), dtype=np.float32)
     n = min(y.shape[1], n_samples)
     out[:, :n] = y[:, :n]
@@ -420,6 +442,10 @@ class ScoreServer:
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     if length > outer.MAX_BODY:
+                        # the body is left unread — close the connection so
+                        # a keep-alive client can't desync the next request
+                        # against the leftover body bytes
+                        self.close_connection = True
                         self._reply(413, {"error": "body too large"})
                         return
                     req = json.loads(self.rfile.read(length))
@@ -431,7 +457,9 @@ class ScoreServer:
                     self._reply(503, {"error": str(e)})
                 except TimeoutError as e:
                     self._reply(504, {"error": str(e)})
-                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                    # TypeError covers malformed field types the explicit
+                    # checks miss — still the client's error, not a 500
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # noqa: BLE001 — scorer faults -> 500
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -457,7 +485,9 @@ class ScoreServer:
             raw = np.frombuffer(
                 base64.b64decode(req["pcm_b64"], validate=True), dtype="<f4"
             )
-            rows = int(req.get("rows", 1))
+            rows = req.get("rows", 1)
+            if not isinstance(rows, int) or isinstance(rows, bool):
+                raise ValueError(f"'rows' must be an integer, got {rows!r}")
             if rows < 1 or len(raw) % rows != 0:
                 raise ValueError(
                     f"pcm_b64 length {len(raw)} not divisible into {rows} rows"
@@ -516,8 +546,8 @@ def build_mel_scorer(
 ) -> tuple[Callable[[np.ndarray], np.ndarray], int]:
     """(scorer, n_samples) for the flagship mel -> CNN-BiLSTM service.
 
-    Mirrors ``cli.main.cmd_score``'s checkpoint contract: ``fit()``
-    payloads carry trained params AND BN statistics.
+    Model init + checkpoint loading are shared with ``cli score`` through
+    ``score.e2e.init_mel_cnn_bilstm`` — one checkpoint contract, no drift.
 
     ``data_parallel`` (None = auto when >1 local device): shard each
     dispatch batch across local devices on the data axis via GSPMD —
@@ -531,23 +561,14 @@ def build_mel_scorer(
     import jax.numpy as jnp
 
     from audioanalysisdetector_tpu.frontend.mel import MelConfig
-    from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
-    from audioanalysisdetector_tpu.score.e2e import make_mel_cnn_bilstm_scorer
+    from audioanalysisdetector_tpu.score.e2e import (
+        init_mel_cnn_bilstm,
+        make_mel_cnn_bilstm_scorer,
+    )
 
     mel_cfg = MelConfig.for_profile(mel_profile, sr, n_mels=n_mels)
     n_samples = int(seconds * sr)
-    model = CNNBiLSTMHybrid()
-    t_frames = 1 + n_samples // mel_cfg.hop_length
-    feats0 = jnp.zeros((1, n_mels, t_frames))
-    variables = model.init(jax.random.PRNGKey(0), feats0, train=False)
-    if checkpoint:
-        from audioanalysisdetector_tpu.train.checkpoint import load_payload
-
-        payload = load_payload(checkpoint)
-        variables = {
-            "params": payload["params"],
-            "batch_stats": payload.get("batch_stats") or variables["batch_stats"],
-        }
+    model, variables = init_mel_cnn_bilstm(mel_cfg, n_samples, checkpoint=checkpoint)
     jitted = make_mel_cnn_bilstm_scorer(model.apply, variables, mel_cfg)
 
     n_dev = jax.local_device_count()

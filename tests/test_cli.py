@@ -65,20 +65,20 @@ def test_stream_producer_dies_with_consumer(corpus):
     import threading
     import time
 
-    from audioanalysisdetector_tpu.cli.main import _stream_score_batches
+    from audioanalysisdetector_tpu.score.streaming import stream_decode_batches
 
     paths = sorted(glob.glob(os.path.join(corpus, "**", "*.wav"), recursive=True))
     assert len(paths) >= 8
     before = set(threading.enumerate())
 
     # (a) consumer abandons the generator after one batch
-    gen = _stream_score_batches(paths, 2.0, 16000, 2)
+    gen = stream_decode_batches(paths, seconds=2.0, sr=16000, batch_size=2)
     next(gen)
     gen.close()
 
     # (b) consumer raises mid-iteration
     def raising_consumer():
-        for _ in _stream_score_batches(paths, 2.0, 16000, 2):
+        for _ in stream_decode_batches(paths, seconds=2.0, sr=16000, batch_size=2):
             raise RuntimeError("scorer blew up")
 
     with pytest.raises(RuntimeError, match="scorer blew up"):

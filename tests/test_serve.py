@@ -149,6 +149,38 @@ def test_batcher_rejected_request_cancels_queued_slices():
     assert b.stats.rejected == 1
 
 
+def test_batcher_timed_out_request_cancels_queued_slices():
+    """A request that exceeds its timeout must cancel its still-queued
+    slices — the worker would otherwise dispatch full device batches whose
+    results nobody reads, on a chip that is already saturated."""
+    scorer, _calls = _sum_scorer()
+    b = BatchingScorer(
+        scorer, n_samples=N, max_batch=4, max_wait_ms=1.0, queue_depth=8
+    )
+    gate = threading.Event()
+    wedged = threading.Event()
+    orig = b._scorer
+
+    def slow(batch):
+        wedged.set()
+        gate.wait(5.0)
+        return orig(batch)
+
+    b._scorer = slow
+    t = threading.Thread(target=lambda: b.score(np.ones((1, N), np.float32)))
+    t.start()
+    assert wedged.wait(5.0)
+    # 3 slices enqueue behind the wedge; the tiny timeout expires first
+    with pytest.raises(TimeoutError):
+        b.score(np.ones((12, N), np.float32), timeout=0.05)
+    gate.set()
+    t.join(5.0)
+    b.close()
+    # only the wedge row was scored; the timed-out request's slices were
+    # skipped at pop time
+    assert b.stats.batch_rows == 1
+
+
 def test_batcher_score_after_close_fails_fast_not_timeout():
     """A request that slips past the _stop check while close() runs must be
     failed by the drain, not left hanging until the request timeout."""
@@ -261,10 +293,18 @@ def test_http_health_stats_and_errors(http_server):
     status, stats = _get(server.port, "/v1/stats")
     assert status == 200 and stats["requests"] >= 1 and stats["batches"] >= 1
 
+    import base64
+
+    pcm_b64 = base64.b64encode(np.zeros(N, np.float32).tobytes()).decode()
     for bad, code in (
         ({"nope": 1}, 400),  # missing pcm/audio_b64
         ({"audio_b64": "!!!notb64", "format": "wav"}, 400),
         ({"audio_b64": "aGk=", "format": "mp3"}, 400),  # unsupported format
+        ({"audio_b64": "aGk=", "format": 1}, 400),  # non-string format
+        ({"pcm_b64": pcm_b64, "rows": None}, 400),  # null rows
+        ({"pcm_b64": pcm_b64, "rows": "2"}, 400),  # string rows
+        ({"pcm_b64": ""}, 400),  # empty payload must not score as silence
+        ({"pcm": []}, 400),
     ):
         try:
             _post(server.port, bad)
