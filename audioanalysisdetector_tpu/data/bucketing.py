@@ -46,11 +46,18 @@ def bucketed_batches(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = False,
-) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Yield (x (B, T_bucket, F), lengths (B,), y (B,)) with zero padding.
+) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Yield (x (B, T_bucket, F), lengths (B,), y (B,), n_true) with zero
+    padding. Batches are ALWAYS exactly ``batch_size`` rows: a short tail
+    (or a bucket smaller than the batch) fills cyclically with repeats, so
+    each jit sees at most ``len(ladder)`` input shapes. ``n_true`` is the
+    number of non-repeat rows — exact metrics weight by it and mask the
+    repeated tail rows out (``fit_bucketed`` does).
 
-    Sequences are (T_i, F) arrays; batches never mix buckets, so each jit
-    sees at most ``len(ladder)`` input shapes.
+    Sequences are (T_i, F) arrays; batches never mix buckets. With
+    ``shuffle`` the BATCH ORDER is also permuted across buckets — without
+    that, every epoch would run short batches first (a length curriculum
+    the reference's fully-shuffled collate does not have).
     """
     lengths = np.asarray([len(s) for s in sequences])
     if ladder is None:
@@ -62,21 +69,30 @@ def bucketed_batches(
     for i in order:
         groups[bucket_for(lengths[i], ladder)].append(i)
 
-    feat_dim = sequences[0].shape[-1]
+    batches: list[tuple[int, list[int], int]] = []
     for bucket_len in sorted(groups):
         idx = groups[bucket_len]
         for lo in range(0, len(idx), batch_size):
             sel = idx[lo : lo + batch_size]
-            if len(sel) < batch_size:
+            n_true = len(sel)
+            if n_true < batch_size:
                 if drop_last:
                     continue
-                # pad the batch with repeats; their mask rows stay real but
-                # callers weight by the true count like train.loop does
-                sel = sel + idx[: batch_size - len(sel)]
-            x = np.zeros((len(sel), bucket_len, feat_dim), dtype=np.float32)
-            ls = np.empty(len(sel), dtype=np.int32)
-            for j, i in enumerate(sel):
-                seq = sequences[i][:bucket_len]
-                x[j, : len(seq)] = seq
-                ls[j] = len(seq)
-            yield x, ls, labels[list(sel)]
+                # cyclic tiling keeps the batch at exactly batch_size even
+                # when the whole bucket is smaller than one batch
+                sel = sel + [
+                    idx[k % len(idx)] for k in range(batch_size - n_true)
+                ]
+            batches.append((bucket_len, sel, n_true))
+    if shuffle:
+        rng.shuffle(batches)
+
+    feat_dim = sequences[0].shape[-1]
+    for bucket_len, sel, n_true in batches:
+        x = np.zeros((len(sel), bucket_len, feat_dim), dtype=np.float32)
+        ls = np.empty(len(sel), dtype=np.int32)
+        for j, i in enumerate(sel):
+            seq = sequences[i][:bucket_len]
+            x[j, : len(seq)] = seq
+            ls[j] = len(seq)
+        yield x, ls, labels[list(sel)], n_true

@@ -13,6 +13,7 @@ contract (one ndarray per cell) so downstream code ports 1:1, while
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -40,7 +41,19 @@ from audioanalysisdetector_tpu.io.native_loader import (
 
 
 def default_extractors(sr: int = 16000) -> dict[str, Callable]:
-    """Batched frontend extractors by reference column name."""
+    """Batched frontend extractors by reference column name.
+
+    Callers get a fresh dict, but the extractor CALLABLES are cached per
+    ``sr`` — stable function identities are what lets the jitted runners
+    below (`_jitted_runners`) reuse their compiled programs across
+    ``extract_features`` calls (e.g. train metadata then eval metadata)
+    instead of re-tracing every frontend per call.
+    """
+    return dict(_extractor_registry(sr))
+
+
+@lru_cache(maxsize=8)
+def _extractor_registry(sr: int) -> dict[str, Callable]:
     return {
         "mfcc": lambda w: mfcc(w, MFCCConfig.for_sr(sr)),
         "lfcc": lambda w: lfcc(w, CepstralConfig(fs=sr, fb_kind="linear")),
@@ -120,6 +133,46 @@ def _batch_sharding(batch_size: int):
     return NamedSharding(make_mesh(n_dev, axis="data"), PartitionSpec("data"))
 
 
+def _jitted_runners(feature_fn: Callable, mean: bool):
+    """Jitted plain/augmented runners, cached by (feature_fn, mean) so
+    repeated ``extract_features`` calls (train metadata then eval metadata)
+    reuse compiled programs instead of re-tracing every frontend. Relies on
+    ``default_extractors`` returning stable callables per ``sr``; an
+    unhashable user callable just skips the cache."""
+    try:
+        return _jitted_runners_cached(feature_fn, mean)
+    except TypeError:
+        return _build_runners(feature_fn, mean)
+
+
+@lru_cache(maxsize=64)
+def _jitted_runners_cached(feature_fn: Callable, mean: bool):
+    return _build_runners(feature_fn, mean)
+
+
+def _build_runners(feature_fn: Callable, mean: bool):
+    def _finish(feats):
+        # mean pooling reduces the TIME axis; features with no time axis
+        # (wpt's (B, 8) band energies, reference/train_fun.py:132-138)
+        # pass through unchanged — pooling them would collapse the feature
+        # vector itself to one scalar
+        if mean and feats.ndim > 2:
+            return jnp.mean(feats, axis=-1)
+        return feats
+
+    @jax.jit
+    def run_plain(wav):
+        return _finish(feature_fn(wav))
+
+    @jax.jit
+    def run_augmented(wav, aug, key):
+        # the augmented variant pays for the phase-vocoder pitch shift; only
+        # batches that actually contain augmented rows take this path
+        return _finish(feature_fn(apply_augmentations(wav, aug, key)))
+
+    return run_plain, run_augmented
+
+
 def extract_feature_array(
     df: pd.DataFrame,
     feature_fn: Callable,
@@ -144,25 +197,7 @@ def extract_feature_array(
     codes = _aug_codes_from(df, aug_col)
     sharding = _batch_sharding(batch_size)
 
-    def _finish(feats):
-        # mean pooling reduces the TIME axis; features with no time axis
-        # (wpt's (B, 8) band energies, reference/train_fun.py:132-138)
-        # pass through unchanged — pooling them would collapse the feature
-        # vector itself to one scalar
-        if mean and feats.ndim > 2:
-            return jnp.mean(feats, axis=-1)
-        return feats
-
-    @jax.jit
-    def run_plain(wav):
-        return _finish(feature_fn(wav))
-
-    @jax.jit
-    def run_augmented(wav, aug, key):
-        # the augmented variant pays for the phase-vocoder pitch shift; only
-        # batches that actually contain augmented rows take this path
-        return _finish(feature_fn(apply_augmentations(wav, aug, key)))
-
+    run_plain, run_augmented = _jitted_runners(feature_fn, mean)
     key = jax.random.PRNGKey(seed)
     outs, oks = [], []
     for lo in range(0, len(paths), batch_size):
@@ -222,7 +257,10 @@ def extract_features(
         )
     df = df.copy()
     for name, fn in feature_extractors_map.items():
-        if fn is FORMANTS_FEATURE or name == FORMANTS_FEATURE:
+        # the host formants path routes by VALUE (the sentinel) or by a
+        # non-callable under the name; a user-supplied callable mapped as
+        # "formants" is honored as a device extractor, not silently swapped
+        if fn is FORMANTS_FEATURE or (name == FORMANTS_FEATURE and not callable(fn)):
             df[name] = _extract_formants_cells(
                 df, sr=sr, batch_size=batch_size, path_col=col_name
             )

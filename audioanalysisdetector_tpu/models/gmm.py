@@ -383,13 +383,33 @@ def map_adapt(
     resp = predict_proba(x, ubm)  # (N, K)
     if frame_weights is not None:
         resp = resp * frame_weights[:, None]
-    nk = jnp.sum(resp, axis=0) + 1e-6
+    nk = jnp.sum(resp, axis=0)
     fk = resp.T @ x
+    sk = resp.T @ (x * x) if adapt_vars else None
+    return _map_from_stats(
+        ubm, nk, fk, sk, relevance_factor=relevance_factor,
+        var_floor=var_floor, adapt_vars=adapt_vars, adapt_weights=adapt_weights,
+    )
+
+
+def _map_from_stats(
+    ubm: DiagGMM,
+    nk: jnp.ndarray,
+    fk: jnp.ndarray,
+    sk: jnp.ndarray | None,
+    *,
+    relevance_factor: float,
+    var_floor: float,
+    adapt_vars: bool,
+    adapt_weights: bool,
+) -> DiagGMM:
+    """The closed-form MAP update from sufficient statistics — shared by the
+    flat path (``map_adapt``) and the chunked path (``map_adapt_chunked``)."""
+    nk = nk + 1e-6
     alpha = nk / (nk + relevance_factor)
     a = alpha[:, None]
     new_means = a * (fk / nk[:, None]) + (1.0 - a) * ubm.means
     if adapt_vars:
-        sk = resp.T @ (x * x)
         new_vars = a * (sk / nk[:, None] - new_means**2) + (1.0 - a) * ubm.variances
         new_vars = jnp.maximum(new_vars, var_floor)
     else:
@@ -400,6 +420,51 @@ def map_adapt(
     else:
         new_weights = ubm.weights
     return DiagGMM(weights=new_weights, means=new_means, variances=new_vars)
+
+
+def map_adapt_chunked(
+    ubm: DiagGMM,
+    x: jnp.ndarray,
+    *,
+    chunk: int = 65536,
+    relevance_factor: float = 10.0,
+    var_floor: float = 1e-6,
+    frame_weights: jnp.ndarray | None = None,
+    adapt_vars: bool = True,
+    adapt_weights: bool = True,
+) -> DiagGMM:
+    """``map_adapt`` for frame buffers whose (N, K) responsibility matrix
+    exceeds HBM: sufficient statistics accumulate over a ``lax.scan`` of
+    fixed-size chunks (the same accumulator EM's chunked fallback uses), so
+    only (chunk, K) is ever materialized. Numerically equal to the flat
+    path up to summation order."""
+    n = x.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    w = (
+        frame_weights.astype(x.dtype)
+        if frame_weights is not None
+        else jnp.ones(n, x.dtype)
+    )
+    xc = jnp.pad(x, ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+    wc = jnp.pad(w, (0, pad)).reshape(n_chunks, chunk)
+    k, d = ubm.means.shape
+
+    def body(carry, cw):
+        nk, fk, sk = carry
+        cnk, cfk, csk, _ll = _estep_stats(cw[0], cw[1], ubm)
+        return (nk + cnk, fk + cfk, sk + csk), None
+
+    init = (
+        jnp.zeros((k,), x.dtype),
+        jnp.zeros((k, d), x.dtype),
+        jnp.zeros((k, d), x.dtype),
+    )
+    (nk, fk, sk), _ = jax.lax.scan(body, init, (xc, wc))
+    return _map_from_stats(
+        ubm, nk, fk, sk if adapt_vars else None, relevance_factor=relevance_factor,
+        var_floor=var_floor, adapt_vars=adapt_vars, adapt_weights=adapt_weights,
+    )
 
 
 def to_numpy(gmm: DiagGMM) -> dict[str, np.ndarray]:

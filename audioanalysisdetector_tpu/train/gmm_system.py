@@ -20,6 +20,7 @@ from audioanalysisdetector_tpu.models.gmm import (
     fit_em,
     from_numpy,
     map_adapt,
+    map_adapt_chunked,
     to_numpy,
 )
 
@@ -83,9 +84,18 @@ def train_gmm_system(
     t0 = time.time()
     # ONE compiled program per class instead of ~15 op-by-op dispatches —
     # on tunneled runtimes each eager op is a separate RPC (CLAUDE.md:
-    # never run repo jnp code eagerly on the TPU)
+    # never run repo jnp code eagerly on the TPU). The flat path
+    # materializes the (N, K) responsibility matrix; past fit_em's same
+    # HBM budget the chunked-scan accumulator takes over (a 25M-frame
+    # LA-scale corpus at K=128 is ~13 GB flat — OOM after the expensive
+    # EM already succeeded).
+    adapt = (
+        map_adapt
+        if len(all_frames) * n_components * 4 <= (2 << 30)
+        else map_adapt_chunked
+    )
     map_jit = jax.jit(
-        lambda g, x, w: map_adapt(
+        lambda g, x, w: adapt(
             g, x, relevance_factor=relevance_factor, frame_weights=w,
             adapt_vars=full, adapt_weights=full,
         )
@@ -130,8 +140,19 @@ def load_bilstm_model(model_dir: str, hidden: int = 128, input_dim: int = 19):
         raise FileNotFoundError(f"no best_model.msgpack under {model_dir}")
     payload = load_payload(candidates[0])
     model = BiLSTMClassifier(hidden=hidden)
-    # shape-check against a fresh init (raises early on geometry mismatch)
-    model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, input_dim)), train=False)
+    # real shape check against a fresh init: a checkpoint trained with a
+    # different hidden/input_dim must fail HERE with a named path, not as
+    # a matmul shape error deep in the fused scorer (or silently, if the
+    # shapes happen to coincide)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, input_dim)), train=False)
+    ref_shapes = jax.tree.map(jnp.shape, ref["params"])
+    got_shapes = jax.tree.map(jnp.shape, payload["params"])
+    if ref_shapes != got_shapes:
+        raise ValueError(
+            f"checkpoint {candidates[0]} does not match "
+            f"BiLSTMClassifier(hidden={hidden}, input_dim={input_dim}): "
+            f"expected {ref_shapes}, got {got_shapes}"
+        )
     return model, {"params": payload["params"]}
 
 
@@ -157,7 +178,7 @@ def eval_model(
 
     have_saved = use_saved_models and all(
         os.path.exists(os.path.join(model_dir, f"{n}.npz"))
-        for n in ("gmm_genuine", "gmm_df")
+        for n in ("ubm", "gmm_genuine", "gmm_df")  # loader reads all three
     )
     if have_saved:
         _, gmm_genuine, gmm_spoof = load_gmm_models(model_dir)

@@ -26,7 +26,7 @@ import numpy as np
 
 from audioanalysisdetector_tpu.train import metrics as M
 from audioanalysisdetector_tpu.train.checkpoint import save_checkpoint
-from audioanalysisdetector_tpu.train.losses import get_loss
+from audioanalysisdetector_tpu.train.losses import get_loss, get_loss_per_row
 from audioanalysisdetector_tpu.train.optimizers import make_optimizer
 from audioanalysisdetector_tpu.train.state import TrainState
 from audioanalysisdetector_tpu.train.steps import make_eval_step, make_train_step
@@ -204,8 +204,6 @@ def fit(
     best_state = state
     best_epoch = -1
 
-    import jax.numpy as jnp
-
     for epoch in range(num_epochs):
         t0 = time.time()
         # metrics accumulate ON DEVICE; the host fetches once per epoch —
@@ -364,7 +362,7 @@ def fit_bucketed(
         make_bucket_ladder,
     )
 
-    loss_fn = get_loss(loss_name)
+    loss_per_row = get_loss_per_row(loss_name)
     feat_dim = train_sequences[0].shape[-1]
     ladder = make_bucket_ladder(
         np.asarray([len(s) for s in train_sequences] + [len(s) for s in val_sequences]),
@@ -378,26 +376,37 @@ def fit_bucketed(
         tx=make_optimizer(optimizer_name, lr),
     )
 
+    # tail batches fill to batch_size with CYCLIC REPEATS of real rows
+    # (static shapes); a 0/1 row mask excludes the repeats from both the
+    # gradient and the metric sums, so the val loss that drives
+    # best-checkpoint selection is exact over the true rows
     @jax.jit
-    def train_step(state, x, lengths, y, step_rng):
+    def train_step(state, x, lengths, y, mask, step_rng):
         def compute_loss(params):
             logits = state.apply_fn(
                 {"params": params}, x, train=True, lengths=lengths,
                 rngs={"dropout": step_rng},
             )
-            return loss_fn(logits, y), logits
+            loss = jnp.sum(loss_per_row(logits, y) * mask) / jnp.sum(mask)
+            return loss, logits
 
         (loss, logits), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
         )
-        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
-        return state.apply_gradients(grads), {"loss": loss, "accuracy": acc}
+        correct = (jnp.argmax(logits, -1) == y).astype(jnp.float32)
+        return state.apply_gradients(grads), {
+            "loss_sum": loss * jnp.sum(mask),
+            "correct_sum": jnp.sum(correct * mask),
+        }
 
     @jax.jit
-    def eval_step(state, x, lengths, y):
+    def eval_step(state, x, lengths, y, mask):
         logits = state.apply_fn({"params": state.params}, x, lengths=lengths)
-        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
-        return {"loss": loss_fn(logits, y), "accuracy": acc}
+        correct = (jnp.argmax(logits, -1) == y).astype(jnp.float32)
+        return {
+            "loss_sum": jnp.sum(loss_per_row(logits, y) * mask),
+            "correct_sum": jnp.sum(correct * mask),
+        }
 
     logs: list[EpochLog] = []
     best_val = float("inf")
@@ -409,26 +418,28 @@ def fit_bucketed(
         tr_loss_d = jnp.zeros(())
         tr_acc_d = jnp.zeros(())
         tr_n = 0.0
-        for xb, lb, yb in bucketed_batches(
+        for xb, lb, yb, n_true in bucketed_batches(
             train_sequences, train_labels, batch_size,
             ladder=ladder, shuffle=True, seed=seed + epoch,
         ):
             rng, sub = jax.random.split(rng)
-            state, m = train_step(state, xb, lb, yb, sub)
-            tr_loss_d = tr_loss_d + m["loss"] * len(yb)
-            tr_acc_d = tr_acc_d + m["accuracy"] * len(yb)
-            tr_n += len(yb)
+            mask = (np.arange(len(yb)) < n_true).astype(np.float32)
+            state, m = train_step(state, xb, lb, yb, mask, sub)
+            tr_loss_d = tr_loss_d + m["loss_sum"]
+            tr_acc_d = tr_acc_d + m["correct_sum"]
+            tr_n += n_true
 
         va_loss_d = jnp.zeros(())
         va_acc_d = jnp.zeros(())
         va_n = 0.0
-        for xb, lb, yb in bucketed_batches(
+        for xb, lb, yb, n_true in bucketed_batches(
             val_sequences, val_labels, batch_size, ladder=ladder, shuffle=False
         ):
-            m = eval_step(state, xb, lb, yb)
-            va_loss_d = va_loss_d + m["loss"] * len(yb)
-            va_acc_d = va_acc_d + m["accuracy"] * len(yb)
-            va_n += len(yb)
+            mask = (np.arange(len(yb)) < n_true).astype(np.float32)
+            m = eval_step(state, xb, lb, yb, mask)
+            va_loss_d = va_loss_d + m["loss_sum"]
+            va_acc_d = va_acc_d + m["correct_sum"]
+            va_n += n_true
 
         row = EpochLog(
             epoch=epoch,
@@ -503,6 +514,10 @@ def evaluate(
     binary_head: bool = False,
 ) -> dict[str, float]:
     """Final metrics on a dataset: accuracy, F1, EER (+ mean loss)."""
+    if len(data[1]) == 0:
+        # e.g. every row of a split dropped by filtr_nan — fail with a
+        # named cause, not np.concatenate([]) / divide-by-zero
+        raise ValueError("evaluate: empty dataset (no rows after filtering)")
     eval_step = jax.jit(
         make_eval_step(get_loss(loss_name), has_batch_stats=has_batch_stats, binary_head=binary_head)
     )

@@ -57,7 +57,53 @@ LOSSES = {
 }
 
 
+# per-row (unreduced) variants: mean(per_row) == the scalar loss above for
+# every entry. Used where padded/duplicated rows must be masked out of the
+# reduction (fit_bucketed's exact metrics and masked gradients).
+
+
+def cross_entropy_per_row(logits, labels):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+
+
+def nll_per_row(log_probs, labels):
+    return -jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+
+
+def mse_onehot_per_row(logits, labels):
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=probs.dtype)
+    return jnp.mean((probs - onehot) ** 2, axis=-1)
+
+
+def l1_onehot_per_row(logits, labels):
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=probs.dtype)
+    return jnp.mean(jnp.abs(probs - onehot), axis=-1)
+
+
+def bce_with_logits_per_row(logits, labels):
+    logits = logits.reshape(logits.shape[0])
+    labels = labels.astype(logits.dtype).reshape(labels.shape[0])
+    return optax.sigmoid_binary_cross_entropy(logits, labels)
+
+
+LOSSES_PER_ROW = {
+    "CrossEntropyLoss": cross_entropy_per_row,
+    "NLLLoss": nll_per_row,
+    "MSELoss": mse_onehot_per_row,
+    "L1Loss": l1_onehot_per_row,
+    "BCELoss": bce_with_logits_per_row,
+}
+
+
 def get_loss(name: str):
     if name not in LOSSES:
         raise ValueError(f"unknown loss {name!r}; available: {sorted(LOSSES)}")
     return LOSSES[name]
+
+
+def get_loss_per_row(name: str):
+    if name not in LOSSES_PER_ROW:
+        raise ValueError(f"unknown loss {name!r}; available: {sorted(LOSSES_PER_ROW)}")
+    return LOSSES_PER_ROW[name]

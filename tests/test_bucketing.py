@@ -32,18 +32,19 @@ def test_bucketed_batches_static_shapes(rng):
     seqs, labels = _ragged_corpus(rng)
     shapes = set()
     seen = 0
-    for x, ls, y in bucketed_batches(seqs, labels, 8, n_buckets=3, seed=1):
+    for x, ls, y, n_true in bucketed_batches(seqs, labels, 8, n_buckets=3, seed=1):
         shapes.add(x.shape[1])
         assert x.shape[0] == 8 and len(ls) == 8 and len(y) == 8
+        assert 1 <= n_true <= 8
         assert (ls <= x.shape[1]).all()
-        seen += 8
+        seen += n_true
     assert len(shapes) <= 3  # at most one shape per bucket
-    assert seen >= len(seqs)
+    assert seen == len(seqs)  # n_true counts each sequence exactly once
 
 
 def test_padding_is_zero_and_mask_recovers_lengths(rng):
     seqs, labels = _ragged_corpus(rng)
-    for x, ls, y in bucketed_batches(seqs, labels, 4, n_buckets=2, shuffle=False):
+    for x, ls, y, _n_true in bucketed_batches(seqs, labels, 4, n_buckets=2, shuffle=False):
         mask = np.asarray(padding_mask(jnp.asarray(x)))
         np.testing.assert_array_equal(mask.sum(axis=1), ls)
         for j in range(len(ls)):
@@ -56,7 +57,7 @@ def test_every_sequence_appears(rng):
     for i, s in enumerate(marked):
         s[0, 0] = 1000.0 + i  # tag each sequence
     tags = set()
-    for x, ls, y in bucketed_batches(marked, labels, 5, n_buckets=3, seed=2):
+    for x, ls, y, _n_true in bucketed_batches(marked, labels, 5, n_buckets=3, seed=2):
         tags.update(np.round(x[:, 0, 0]).astype(int).tolist())
     assert tags == {1000 + i for i in range(23)}
 
@@ -132,3 +133,31 @@ def test_fit_bucketed_ragged_cqcc_end_to_end(rng):
 
     mask = np.asarray(padding_mask(jnp.asarray(padded)))
     assert mask[0, : len(s)].all() and not mask[0, len(s):].any()
+
+
+def test_small_bucket_fills_to_batch_size(rng):
+    """A bucket smaller than one batch must cyclically tile to EXACTLY
+    batch_size rows — a short batch would add an extra compiled shape and
+    break the <= len(ladder) invariant."""
+    seqs = [rng.standard_normal((12, 5)).astype(np.float32) for _ in range(3)]
+    labels = np.arange(3)
+    batches = list(bucketed_batches(seqs, labels, 16, n_buckets=1, shuffle=False))
+    assert len(batches) == 1
+    x, ls, y, n_true = batches[0]
+    assert x.shape[0] == 16 and n_true == 3
+    # the tail repeats cycle over the bucket's real rows
+    np.testing.assert_array_equal(y[:3], labels)
+    np.testing.assert_array_equal(y[3:6], labels)
+
+
+def test_batch_order_shuffled_across_buckets(rng):
+    """With shuffle=True the epoch's batch ORDER must mix buckets — a fixed
+    short->long schedule is a length curriculum the reference's fully
+    shuffled collate does not have."""
+    seqs, labels = _ragged_corpus(rng, n=64)
+    lens = [
+        x.shape[1]
+        for x, *_ in bucketed_batches(seqs, labels, 4, n_buckets=4, seed=3)
+    ]
+    assert len(set(lens)) > 1
+    assert lens != sorted(lens)

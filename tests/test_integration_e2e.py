@@ -108,3 +108,66 @@ def test_flagship_system_learns(corpus):
     )
     assert fused_cal["accuracy"] >= 0.75, (fused_cal, threshold)
     assert fused_cal["eer"] <= 0.25, fused_cal
+
+
+def test_load_bilstm_model_shape_mismatch_raises(tmp_path, rng):
+    """A checkpoint trained with a different geometry must fail loading
+    with a named error, not a matmul shape error deep in the fused scorer
+    (or silent wrong scores when shapes coincide)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from audioanalysisdetector_tpu.models.bilstm_classifier import BiLSTMClassifier
+    from audioanalysisdetector_tpu.train.checkpoint import save_checkpoint
+    from audioanalysisdetector_tpu.train.gmm_system import load_bilstm_model
+    from audioanalysisdetector_tpu.train.state import TrainState
+    import optax
+
+    model = BiLSTMClassifier(hidden=8)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 19)), train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=optax.adam(1e-3)
+    )
+    save_checkpoint(str(tmp_path / "best_model.msgpack"), state)
+
+    # matching geometry loads
+    m, v = load_bilstm_model(str(tmp_path), hidden=8, input_dim=19)
+    assert v["params"]
+
+    with pytest.raises(ValueError, match="does not match"):
+        load_bilstm_model(str(tmp_path), hidden=16, input_dim=19)
+    with pytest.raises(ValueError, match="does not match"):
+        load_bilstm_model(str(tmp_path), hidden=8, input_dim=13)
+
+
+def test_eval_model_missing_ubm_retrains(tmp_path, rng):
+    """Saved class models WITHOUT ubm.npz must fall back to training (the
+    loader reads all three files), not crash on the missing UBM."""
+    import numpy as np
+
+    from audioanalysisdetector_tpu.models.gmm import to_numpy
+    from audioanalysisdetector_tpu.train.gmm_system import eval_model, train_gmm_system
+
+    x = rng.standard_normal((12, 6, 3)).astype(np.float32)
+    y = np.asarray([0, 1] * 6)
+    d_full = str(tmp_path / "full")
+    ubm, g_gen, g_spoof = train_gmm_system(
+        x, y, n_components=2, max_iter=5, model_dir=d_full
+    )
+    # a deployment dir holding only the class models
+    d_partial = tmp_path / "partial"
+    d_partial.mkdir()
+    np.savez(str(d_partial / "gmm_genuine.npz"), **to_numpy(g_gen))
+    np.savez(str(d_partial / "gmm_df.npz"), **to_numpy(g_spoof))
+
+    import jax.numpy as jnp
+
+    def apply_fn(variables, xb, **kw):
+        return jnp.zeros((xb.shape[0], 2), jnp.float32)
+
+    y_true, y_pred, metrics = eval_model(
+        apply_fn, {}, x, y, x, y,
+        model_dir=str(d_partial), n_components=2, batch_size=4, verbose=False,
+    )
+    assert len(y_true) == len(y) and "eer" in metrics

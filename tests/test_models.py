@@ -279,3 +279,56 @@ def test_fit_em_flat_matches_chunked(rng):
     np.testing.assert_allclose(np.asarray(flat.means), np.asarray(chunked.means), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(flat.variances), np.asarray(chunked.variances), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(flat.weights), np.asarray(chunked.weights), rtol=2e-4, atol=2e-5)
+
+
+def test_map_adapt_chunked_matches_flat(rng):
+    """The chunked-scan MAP (for larger-than-HBM frame buffers) must equal
+    the flat path up to summation order, in both adapt modes."""
+    from audioanalysisdetector_tpu.models.gmm import map_adapt_chunked
+
+    ubm = _rand_gmm(rng, k=6, d=4)
+    x = rng.standard_normal((777, 4)).astype(np.float32)  # non-multiple of chunk
+    w = (rng.random(777) < 0.6).astype(np.float32)
+    for full in (True, False):
+        flat = map_adapt(
+            ubm, jnp.asarray(x), frame_weights=jnp.asarray(w),
+            adapt_vars=full, adapt_weights=full,
+        )
+        chunked = map_adapt_chunked(
+            ubm, jnp.asarray(x), chunk=128, frame_weights=jnp.asarray(w),
+            adapt_vars=full, adapt_weights=full,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.means), np.asarray(flat.means), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.variances), np.asarray(flat.variances), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked.weights), np.asarray(flat.weights), rtol=1e-5, atol=1e-7
+        )
+
+
+def test_per_row_losses_mean_to_scalar(rng):
+    """mean(per_row loss) must equal the scalar loss for every zoo entry —
+    fit_bucketed's masked metrics rely on the equivalence."""
+    import jax
+
+    from audioanalysisdetector_tpu.train.losses import LOSSES, LOSSES_PER_ROW
+
+    labels = jnp.asarray(rng.integers(0, 2, 16))
+    for name in LOSSES:
+        if name == "BCELoss":
+            logits = jnp.asarray(rng.standard_normal((16, 1)).astype(np.float32))
+        elif name == "NLLLoss":
+            logits = jax.nn.log_softmax(
+                jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+            )
+        else:
+            logits = jnp.asarray(rng.standard_normal((16, 2)).astype(np.float32))
+        per_row = LOSSES_PER_ROW[name](logits, labels)
+        assert per_row.shape == (16,), name
+        np.testing.assert_allclose(
+            float(jnp.mean(per_row)), float(LOSSES[name](logits, labels)),
+            rtol=1e-6, err_msg=name,
+        )
