@@ -299,22 +299,25 @@ def cmd_xai(args) -> int:
     heatmaps = {}
     if "saliency" in methods:
         sal = jax.jit(lambda v, f: saliency(model.apply, v, f))(variables, feats)
-        heatmaps["saliency"] = np.asarray(sal[0])
+        heatmaps["saliency"] = np.asarray(sal[0]).T  # (F,T) -> plot contract (T,F)
     if "gradcam" in methods:
         cam = jax.jit(
             lambda v, f: grad_cam(model, v, f, output_size=feats.shape[-2:])
         )(variables, feats)
-        heatmaps["grad_cam"] = np.asarray(cam[0])
+        heatmaps["grad_cam"] = np.asarray(cam[0]).T
     if "ig" in methods:
         ig = jax.jit(
             lambda v, f: integrated_gradients(model.apply, v, f, steps=args.ig_steps)
         )(variables, feats)
-        heatmaps["integrated_gradients"] = np.abs(np.asarray(ig[0]))
+        heatmaps["integrated_gradients"] = np.abs(np.asarray(ig[0])).T
     if "occlusion" in methods:
+        # feats are coeffs-first (B, n_mels, T); the reference's (5, 1)
+        # window means 5 TIME frames x 1 coefficient (tets_xai.py:84), so
+        # on this layout the window is (1 mel bin, 5 frames)
         occ = jax.jit(
-            lambda v, f: occlusion(model.apply, v, f, window=(5, 1))
+            lambda v, f: occlusion(model.apply, v, f, window=(1, 5))
         )(variables, feats)
-        heatmaps["occlusion"] = np.asarray(occ[0])
+        heatmaps["occlusion"] = np.asarray(occ[0]).T
     if "lime" in methods:
         @jax.jit
         def scorer(batch):

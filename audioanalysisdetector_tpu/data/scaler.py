@@ -84,8 +84,15 @@ def prepare_train_test_data_multi(
     for col in feature_cols:
         frames = np.vstack([np.asarray(v) for v in train_df[col]])
         scaler = FrameScaler.fit(frames)
-        train_df[col] = [np.asarray(scaler.transform(jnp.asarray(v))) for v in train_df[col]]
-        test_df[col] = [np.asarray(scaler.transform(jnp.asarray(v))) for v in test_df[col]]
+        # plain host numpy per cell: an eager jnp round-trip here would be
+        # one device dispatch + fetch PER CELL — hours at corpus scale on
+        # tunneled TPU runtimes (CLAUDE.md), for millisecond arithmetic
+        train_df[col] = [
+            (np.asarray(v) - scaler.mean) / scaler.std for v in train_df[col]
+        ]
+        test_df[col] = [
+            (np.asarray(v) - scaler.mean) / scaler.std for v in test_df[col]
+        ]
         if model_dir:
             os.makedirs(model_dir, exist_ok=True)
             scaler.save(os.path.join(model_dir, f"{col}_scaler.npz"))

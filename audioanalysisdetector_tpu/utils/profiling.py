@@ -25,8 +25,8 @@ class StepTimer:
     ``measure`` synchronizes on whatever the body registers via
     ``set_result`` before the clock stops; without it, jitted work would be
     timed at async-dispatch cost only. (Note: on remote-tunnel TPU runtimes
-    even ``block_until_ready`` may not block — ``profile_fn``'s fetch-forced
-    chaining is the robust pattern there.)
+    even ``block_until_ready`` may not block — ``profile_fn``'s per-call
+    host fetch is the robust pattern there.)
     """
 
     name: str = "step"
@@ -81,15 +81,27 @@ def device_trace(log_dir: str):
 
 
 def profile_fn(fn, *args, iters: int = 10, warmup: int = 2, items: int | None = None) -> dict:
-    """Time a device function: compile excluded, block_until_ready included."""
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    """Time a device function: compile excluded, execution FORCED by a host
+    fetch. ``block_until_ready`` does not actually block on remote-tunnel
+    TPU runtimes (CLAUDE.md), so each iteration's output is fetched to the
+    host — dispatch-only timing is impossible by construction. The fetch
+    round-trip (~tens of ms on tunneled runtimes) is part of each sample;
+    for fetch-free steady-state numbers use the chained-accumulator pattern
+    the benchmarks use (one fetch for N iterations, see bench.py)."""
+
+    def _force(x):
+        # fetch one leaf to the host — the only reliable sync on axon
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        np.asarray(leaf).ravel()[:1]
+        return x
+
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = _force(fn(*args))
     timer = StepTimer(getattr(fn, "__name__", "fn"))
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         timer.record(time.perf_counter() - t0)
     return timer.summary(items_per_step=items, skip_warmup=0)
 

@@ -72,9 +72,12 @@ def occlusion(
     semantics, stride 1). All occluded variants are scored as one batched
     forward per window position via ``vmap``.
     """
+    import numpy as np
+
     B, T, F = x.shape
     wt, wf = window
-    positions = [(t, f) for t in range(T - wt + 1) for f in range(F - wf + 1)]
+    n_t, n_f = T - wt + 1, F - wf + 1
+    positions = [(t, f) for t in range(n_t) for f in range(n_f)]
     pos = jnp.asarray(positions)  # (P, 2)
 
     base_score = _target_score(apply_fn, variables, x, target)  # (B,)
@@ -89,14 +92,26 @@ def occlusion(
             & (f_idx[None, :] >= f0) & (f_idx[None, :] < f0 + wf)
         )  # (T, F)
         x_occ = jnp.where(mask[None], baseline, x)
-        diff = base_score - _target_score(apply_fn, variables, x_occ, target)  # (B,)
-        return diff, mask
+        return base_score - _target_score(apply_fn, variables, x_occ, target)  # (B,)
 
-    diffs, masks = jax.lax.map(occlude_and_score, pos, batch_size=64)
-    # scatter window scores back, average overlaps
-    heat = jnp.einsum("pb,ptf->btf", diffs, masks.astype(x.dtype))
-    counts = jnp.sum(masks, axis=0).astype(x.dtype)  # (T, F)
-    return heat / jnp.maximum(counts, 1.0)
+    diffs = jax.lax.map(occlude_and_score, pos, batch_size=64)  # (P, B)
+    # each cell's attribution = mean of the diffs of windows covering it.
+    # The scatter is a FULL cross-correlation of the window-diff grid with a
+    # ones(wt, wf) kernel — no (P, T, F) mask tensor is ever materialized
+    # (at 400x64 / (5,1) that tensor is ~2.6 GB f32; the grid is ~100 KB).
+    grid = diffs.T.reshape(B, 1, n_t, n_f)
+    kernel = jnp.ones((1, 1, wt, wf), x.dtype)
+    heat = jax.lax.conv_general_dilated(
+        grid, kernel, window_strides=(1, 1),
+        padding=[(wt - 1, wt - 1), (wf - 1, wf - 1)],
+    )[:, 0]  # (B, T, F)
+    # overlap counts are static: same correlation of a ones grid, on host
+    ones_grid = np.ones((1, 1, n_t, n_f), np.float32)
+    counts = jax.lax.conv_general_dilated(
+        jnp.asarray(ones_grid), kernel.astype(jnp.float32),
+        window_strides=(1, 1), padding=[(wt - 1, wt - 1), (wf - 1, wf - 1)],
+    )[0, 0]  # (T, F)
+    return heat / jnp.maximum(counts.astype(x.dtype), 1.0)
 
 
 def grad_cam(

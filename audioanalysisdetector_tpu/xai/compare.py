@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,7 +32,11 @@ def compare_gmm_bilstm(
 ) -> dict:
     """instance: (T, F) scaled CQCC. Returns heatmaps + importance dict."""
     x = jnp.asarray(instance)[None]  # (1, T, F)
-    nn_maps = bilstm_heatmaps(bilstm_apply, bilstm_variables, x, steps=ig_steps)
+    # one jitted program for IG + occlusion + reductions — eager evaluation
+    # dispatches the surrounding ops one tunnel RPC at a time (CLAUDE.md)
+    nn_maps = jax.jit(
+        lambda v, xi: bilstm_heatmaps(bilstm_apply, v, xi, steps=ig_steps)
+    )(bilstm_variables, x)
     shap_map = gmm_shap(
         gmm_score_fn, instance, n_coalitions=shap_coalitions, seed=seed
     )
@@ -79,24 +84,34 @@ def extract_top_intervals_global(
     return intervals[:top_n]
 
 
-def plot_heatmaps(heatmaps: dict[str, np.ndarray], out_dir: str, *, prefix: str = "xai") -> list[str]:
-    """Save one PNG per heatmap (reference's stylish-heatmap role)."""
+def render_heatmap_figure(heatmap: np.ndarray, title: str):
+    """One styled heatmap figure — the single render implementation shared
+    by ``plot_heatmaps`` (PNG files) and ``xai.report`` (inline base64).
+    ``heatmap`` is (T, F) time-major; the transpose puts time on x."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    fig, ax = plt.subplots(figsize=(8, 4))
+    im = ax.imshow(np.asarray(heatmap).T, aspect="auto", origin="lower", cmap="magma")
+    ax.set_xlabel("time frame")
+    ax.set_ylabel("coefficient")
+    ax.set_title(title)
+    fig.colorbar(im, ax=ax)
+    fig.tight_layout()
+    return fig
+
+
+def plot_heatmaps(heatmaps: dict[str, np.ndarray], out_dir: str, *, prefix: str = "xai") -> list[str]:
+    """Save one PNG per heatmap (reference's stylish-heatmap role)."""
+    import matplotlib.pyplot as plt
+
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for name, hm in heatmaps.items():
-        fig, ax = plt.subplots(figsize=(8, 4))
-        im = ax.imshow(np.asarray(hm).T, aspect="auto", origin="lower", cmap="magma")
-        ax.set_xlabel("time frame")
-        ax.set_ylabel("coefficient")
-        ax.set_title(name)
-        fig.colorbar(im, ax=ax)
+        fig = render_heatmap_figure(hm, name)
         path = os.path.join(out_dir, f"{prefix}_{name}.png")
-        fig.tight_layout()
         fig.savefig(path, dpi=100)
         plt.close(fig)
         paths.append(path)

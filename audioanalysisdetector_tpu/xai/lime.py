@@ -100,20 +100,19 @@ def lime_single_instance(
     """
     key = jax.random.PRNGKey(seed)
     x = jnp.asarray(instance)
-    perturbed, masks = [], []
-    for i in range(n_perturbations):
-        key, sub = jax.random.split(key)
-        if mode == "feature":
-            p, m = perturb_random_features_mean(x, sub, n_changed=n_changed)
-        elif mode == "time":
-            p, m = perturb_segments(x, sub, num_slices=num_slices, n_changed=n_changed)
-        else:
-            raise ValueError(f"unknown LIME mode {mode!r}")
-        perturbed.append(p)
-        masks.append(np.asarray(m))
-    batch = jnp.stack(perturbed)
+    if mode == "feature":
+        gen = lambda k: perturb_random_features_mean(x, k, n_changed=n_changed)
+    elif mode == "time":
+        gen = lambda k: perturb_segments(x, k, num_slices=num_slices, n_changed=n_changed)
+    else:
+        raise ValueError(f"unknown LIME mode {mode!r}")
+    # ALL perturbations in one jitted vmap dispatch — an eager host loop
+    # here costs one tunnel round-trip per jnp op per perturbation on
+    # remote TPU runtimes (CLAUDE.md: never run repo jnp code eagerly)
+    keys = jax.random.split(key, n_perturbations)
+    batch, masks_dev = jax.jit(jax.vmap(gen))(keys)
     scores = np.asarray(scorer(batch))
-    masks = np.stack(masks)
+    masks = np.asarray(masks_dev)
     weights = kernel_weights(masks)
     reg = fit_surrogate(masks, scores, weights)
 
@@ -146,20 +145,20 @@ def lime_dataset(
     reference/xai_func.py:38-176): perturb every instance once, re-score the
     perturbed set, fit one weighted surrogate over all masks."""
     key = jax.random.PRNGKey(seed)
-    perturbed, masks = [], []
-    for inst in instances:
-        key, sub = jax.random.split(key)
-        x = jnp.asarray(inst)
-        if mode == "feature":
-            p, m = perturb_random_features_mean(x, sub, n_changed=n_changed)
-        else:
-            p, m = perturb_segments(x, sub, num_slices=num_slices, n_changed=n_changed)
-        # invariants the reference asserts (reference/xai_func.py:91-92)
-        assert p.shape == x.shape
-        perturbed.append(p)
-        masks.append(np.asarray(m))
-    scores = np.asarray(scorer(jnp.stack(perturbed)))
-    masks = np.stack(masks)
+    xs = jnp.asarray(np.stack([np.asarray(i) for i in instances]))
+    if mode == "feature":
+        gen = lambda xi, k: perturb_random_features_mean(xi, k, n_changed=n_changed)
+    else:
+        gen = lambda xi, k: perturb_segments(
+            xi, k, num_slices=num_slices, n_changed=n_changed
+        )
+    # one jitted vmap over (instance, key) — see lime_single_instance
+    keys = jax.random.split(key, len(instances))
+    perturbed, masks_dev = jax.jit(jax.vmap(gen))(xs, keys)
+    # invariant the reference asserts (reference/xai_func.py:91-92)
+    assert perturbed.shape == xs.shape
+    scores = np.asarray(scorer(perturbed))
+    masks = np.asarray(masks_dev)
     weights = kernel_weights(masks)
     reg = fit_surrogate(masks, scores, weights)
     if save_path:

@@ -32,19 +32,12 @@ _PAGE = """<!doctype html>
 
 
 def _png_b64(heatmap: np.ndarray, title: str) -> str:
-    import matplotlib
-
-    matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, ax = plt.subplots(figsize=(8, 4))
-    im = ax.imshow(np.asarray(heatmap).T, aspect="auto", origin="lower", cmap="magma")
-    ax.set_xlabel("time frame")
-    ax.set_ylabel("coefficient")
-    ax.set_title(title)
-    fig.colorbar(im, ax=ax)
+    from audioanalysisdetector_tpu.xai.compare import render_heatmap_figure
+
+    fig = render_heatmap_figure(heatmap, title)
     buf = io.BytesIO()
-    fig.tight_layout()
     fig.savefig(buf, format="png", dpi=90)
     plt.close(fig)
     return base64.b64encode(buf.getvalue()).decode()

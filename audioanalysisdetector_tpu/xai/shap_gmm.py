@@ -24,6 +24,12 @@ def time_windows(T: int, *, size: int = 10, stride: int = 5) -> np.ndarray:
     starts = list(range(0, max(T - size, 0) + 1, stride))
     if not starts:
         starts = [0]
+    # cover the tail: when (T - size) % stride != 0 the last strided window
+    # stops short and the trailing frames would sit in NO window — kept at
+    # their original value in every coalition and silently attributed zero
+    last = max(T - size, 0)
+    if starts[-1] != last:
+        starts.append(last)
     return np.asarray([(s, min(s + size, T)) for s in starts])  # (M, 2)
 
 

@@ -71,6 +71,8 @@ def visualize_segment_perturbation(
     mask = np.asarray(mask)
     num_slices = num_slices or len(mask)
     seg = signal_segmentation(original.shape[-1], num_slices)
+    # clamp to the rows that exist (same rule as the feature variant)
+    rows = tuple(r for r in rows if r < original.shape[0]) or (0,)
 
     fig, axes = plt.subplots(len(rows), 1, figsize=(8, 1.8 * len(rows)), sharex=True)
     for ax, r in zip(np.atleast_1d(axes), rows):
