@@ -102,7 +102,17 @@ def _extract_formants_cells(
             paths[lo:hi], starts[lo:hi], ends[lo:hi], sr=sr, return_ok=True
         )
         for row, good in zip(wav, ok):
-            cells.append(analyze_formants_and_silence(row, sr) if good else None)
+            if not good:
+                cells.append(None)
+                continue
+            try:
+                cells.append(analyze_formants_and_silence(row, sr))
+            except (ValueError, FloatingPointError) as e:
+                # reference error policy (reference/ASV_dl_func.py:399-401):
+                # a failing row (e.g. shorter than the analysis window)
+                # becomes a None cell for filtr_nan, not a batch abort
+                print(f"WARNING: formants failed for row {len(cells)}: {e}")
+                cells.append(None)
     return cells
 
 

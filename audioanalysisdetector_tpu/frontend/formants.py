@@ -26,14 +26,25 @@ import numpy as np
 _P_REF = 2e-5  # 20 µPa, Praat's dB SPL reference
 
 
+@partial(jax.jit, static_argnames=("sr", "frame_seconds", "hop_seconds"))
 def intensity_db(
     y: jnp.ndarray, sr: int, *, frame_seconds: float = 0.04, hop_seconds: float = 0.01
 ) -> jnp.ndarray:
-    """Frame RMS intensity in dB SPL: (..., n) -> (..., n_frames)."""
+    """Frame RMS intensity in dB SPL: (..., n) -> (..., n_frames).
+
+    Jitted (one dispatch per shape — eager jnp is pathological on tunneled
+    TPU runtimes). Inputs shorter than one analysis window raise: jnp's
+    clamped gather would otherwise fabricate a frame from repeats of the
+    last sample and return a silently wrong intensity."""
     frame = int(frame_seconds * sr)
     hop = int(hop_seconds * sr)
     n = y.shape[-1]
-    n_frames = max(1 + (n - frame) // hop, 1)
+    if n < frame:
+        raise ValueError(
+            f"audio shorter than one {frame_seconds * 1e3:.0f} ms intensity window"
+            f" ({n} < {frame} samples)"
+        )
+    n_frames = 1 + (n - frame) // hop
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
     w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
     frames = y[..., idx] * jnp.asarray(w, y.dtype)
@@ -105,7 +116,12 @@ def formant_tracks(
     y = np.concatenate([y[:1], y[1:] - pre_emphasis * y[:-1]])
     frame = int(frame_seconds * sr)
     hop = int(hop_seconds * sr)
-    n_frames = max(1 + (len(y) - frame) // hop, 1)
+    if len(y) < frame:
+        raise ValueError(
+            f"audio shorter than one {frame_seconds * 1e3:.0f} ms analysis frame"
+            f" ({len(y)} < {frame} samples)"
+        )
+    n_frames = 1 + (len(y) - frame) // hop
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
     # no analysis window: Burg models the segment directly and tapering
     # introduces spurious low-bandwidth poles

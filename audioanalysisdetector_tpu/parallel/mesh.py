@@ -76,8 +76,15 @@ def process_shard(n_items: int) -> slice:
     single process this is the identity slice.
     """
     p, n_p = jax.process_index(), jax.process_count()
-    per = -(-n_items // n_p)
-    return slice(p * per, min((p + 1) * per, n_items))
+    if n_items % n_p:
+        # ceil-division would hand processes unequal (possibly empty)
+        # slices — jax.make_array_from_process_local_data then assembles a
+        # corrupt global batch. Fail with the contract named instead.
+        raise ValueError(
+            f"global batch of {n_items} rows not divisible by {n_p} processes"
+        )
+    per = n_items // n_p
+    return slice(p * per, (p + 1) * per)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh, *, axis: str = "data") -> int:

@@ -96,8 +96,9 @@ def make_sharded_masked_llr(
 
 def make_mesh_2d_for(n_devices: int | None = None, model: int = 2) -> Mesh:
     """Convenience (data, model) mesh over the available devices."""
-    devices = jax.devices() if n_devices is None else jax.devices()[:n_devices]
-    n = len(devices)
+    from audioanalysisdetector_tpu.parallel.mesh import make_mesh_2d
+
+    n = len(jax.devices()) if n_devices is None else n_devices
     if n % model:
         raise ValueError(f"{n} devices not divisible by model={model}")
-    return Mesh(np.asarray(devices).reshape(n // model, model), ("data", "model"))
+    return make_mesh_2d(n // model, model)

@@ -47,11 +47,14 @@ def make_train_step(
 
         if augment_fn is not None:
             rng, aug_rng = jax.random.split(rng)
-            x = (
-                tuple(augment_fn(xi, aug_rng) for xi in x)
-                if isinstance(x, tuple)
-                else augment_fn(x, aug_rng)
-            )
+            if isinstance(x, tuple):
+                # one key PER BRANCH: a shared key would place identical
+                # SpecAugment masks on same-shaped feature inputs, erasing
+                # the same region from every branch at once
+                keys = jax.random.split(aug_rng, len(x))
+                x = tuple(augment_fn(xi, k) for xi, k in zip(x, keys))
+            else:
+                x = augment_fn(x, aug_rng)
 
         xs = x if isinstance(x, tuple) else (x,)  # multi-input models take tuples
 

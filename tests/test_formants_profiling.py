@@ -104,3 +104,24 @@ def test_step_timer_and_profile_fn():
 
     with timed("phase", verbose=False):
         pass
+
+
+def test_formants_short_audio_fails_cleanly():
+    """Sub-window audio raises a named ValueError (the pipeline turns it
+    into a None cell per the reference error policy) — previously the
+    numpy path crashed with IndexError and the jnp intensity path
+    fabricated a frame from clamped gathers."""
+    import numpy as np
+    import pytest
+
+    from audioanalysisdetector_tpu.frontend.formants import (
+        analyze_formants_and_silence,
+        intensity_db,
+    )
+
+    with pytest.raises(ValueError, match="shorter"):
+        analyze_formants_and_silence(np.zeros(300, np.float32), 16000)
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="shorter"):
+        intensity_db(jnp.zeros(500), 16000)
