@@ -38,8 +38,17 @@ def audio_info(path: str) -> AudioInfo:
     """Duration probe without full decode (``soundfile.info`` role)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
-        with wave.open(path, "rb") as w:
-            return AudioInfo(w.getnframes(), w.getframerate(), w.getnchannels())
+        try:
+            with wave.open(path, "rb") as w:
+                return AudioInfo(w.getnframes(), w.getframerate(), w.getnchannels())
+        except wave.Error:
+            # stdlib wave only admits integer PCM; IEEE-float / extensible
+            # WAVs fall through to soundfile when it is available
+            sf = _soundfile()
+            if sf is None:
+                raise
+            info = sf.info(path)
+            return AudioInfo(int(info.frames), int(info.samplerate), int(info.channels))
     if ext == ".flac":
         from audioanalysisdetector_tpu.io.flac import flac_stream_info
 
@@ -100,7 +109,15 @@ def load_audio(
     """float32 mono waveform (librosa.load contract: resampled iff ``sr``)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
-        y, native_sr = _decode_wav(path)
+        try:
+            y, native_sr = _decode_wav(path)
+        except wave.Error:
+            sf = _soundfile()  # IEEE-float / extensible WAVs (see audio_info)
+            if sf is None:
+                raise
+            y, native_sr = sf.read(path, dtype="float32", always_2d=False)
+            if y.ndim > 1:
+                y = y.mean(axis=1)
     elif ext == ".flac":
         from audioanalysisdetector_tpu.io.flac import read_flac
 
@@ -153,6 +170,8 @@ def load_chunk_batch(
 
     Short reads are zero-padded to the chunk length (static shapes for jit).
     """
+    if not paths:
+        return np.zeros((0, 0), dtype=np.float32)
     n = int(round((chunk_ends[0] - chunk_starts[0]) * sr))
     out = np.zeros((len(paths), n), dtype=np.float32)
     for i, (p, s, e) in enumerate(zip(paths, chunk_starts, chunk_ends)):

@@ -383,7 +383,13 @@ def _decode_frame(
 def flac_stream_info(path: str) -> FlacStreamInfo:
     """STREAMINFO probe without decoding (the ``soundfile.info`` role)."""
     with open(path, "rb") as f:
-        head = f.read(64 * 1024)  # metadata fits comfortably; frames not needed
+        head = f.read(64 * 1024)  # metadata usually fits; frames not needed
+        try:
+            return _parse_stream_header(head)[0]
+        except FlacError:
+            # metadata blocks past 64 KB (cover art / large padding): the
+            # header walk needs every block present — retry on the full file
+            head += f.read()
     return _parse_stream_header(head)[0]
 
 

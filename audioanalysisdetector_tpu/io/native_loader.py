@@ -181,6 +181,9 @@ def load_chunk_batch_native(
     ``return_ok`` a boolean per-row success mask is returned too (feeds the
     reference's failure->None->filtr_nan policy).
     """
+    if not paths:
+        empty = np.zeros((0, 0), dtype=np.float32)
+        return (empty, np.zeros(0, dtype=bool)) if return_ok else empty
     n = int(round((chunk_ends[0] - chunk_starts[0]) * sr))
     out = np.empty((len(paths), n), dtype=np.float32)
     ok = np.ones(len(paths), dtype=bool)

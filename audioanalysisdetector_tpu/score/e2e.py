@@ -38,7 +38,6 @@ def init_mel_cnn_bilstm(
     checkpoint contract lives: ``fit()`` payloads carry the trained params
     AND the trained BatchNorm statistics (inference needs both). Used by
     both ``cli score`` and ``serve`` so they can never drift apart."""
-    import jax
 
     from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
 
@@ -89,6 +88,10 @@ def make_cqcc_fused_scorer(
     Mirrors the reference's full scoring path (CQCC -> transpose -> scale ->
     fuse) without any per-sample host round-trip.
     """
+    if (scaler_mean is None) != (scaler_std is None):
+        # half a scaler silently skips standardization (or crashes at
+        # trace time) and every downstream score is quietly wrong
+        raise ValueError("pass BOTH scaler_mean and scaler_std, or neither")
 
     def score(wav: jnp.ndarray) -> jnp.ndarray:
         feats = transpose_cqcc(cqcc(wav, cqcc_cfg))  # (B, T, 19)

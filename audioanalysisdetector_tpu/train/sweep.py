@@ -69,8 +69,10 @@ def train_feature_model(
     # standardize over all train frames of this feature (reference
     # in-loop scaler, reference/ASV_dl_func.py:963-973)
     scaler = FrameScaler.fit(train_x.reshape(-1, train_x.shape[-1]))
-    tr = np.asarray(scaler.transform(train_x)).astype(np.float32)
-    te = np.asarray(scaler.transform(test_x)).astype(np.float32)
+    # host numpy: an eager jnp transform here is one un-jitted device
+    # dispatch + full-array fetch per split on tunneled TPU runtimes
+    tr = ((np.asarray(train_x) - scaler.mean) / scaler.std).astype(np.float32)
+    te = ((np.asarray(test_x) - scaler.mean) / scaler.std).astype(np.float32)
     scaler.save(os.path.join(cell_dir, f"{feature_name}_scaler.npz"))
 
     model = AntiSpoofingResNet()
@@ -112,7 +114,6 @@ def _notebook_driver(
     """Shared body of the notebook-cell drivers: CrossEntropy fit with the
     run-dir artifact contract, best+final eval, metrics.json. ``tr``/``te``
     are an array or an aligned tuple of arrays (multi-input models)."""
-    from audioanalysisdetector_tpu.train.loop import fit
 
     first = (a[:1] for a in tr) if isinstance(tr, tuple) else (tr[:1],)
     variables = model.init(jax.random.PRNGKey(seed), *first, train=False)
@@ -157,7 +158,6 @@ def train_3features(
     ``train_feats`` / ``test_feats``: three aligned (N, H_i, W_i) arrays.
     Returns {"best": metrics, "final": metrics, "run_dir": ...}.
     """
-    import optax
 
     from audioanalysisdetector_tpu.models.resnet import MoreFeaturesClassifier
 
@@ -188,7 +188,6 @@ def train_mfca(
     ``train_loop_mfca`` driver (ASV_deep_learning.ipynb cells 29-31:
     'mel-spect' unscaled, CrossEntropy, Adam lr 1e-4 weight_decay 1e-5,
     batch 32, epochs 20, best-state tracking by val loss)."""
-    import optax
 
     from audioanalysisdetector_tpu.models.mobilenet_mfca import MobileNetMFCA
 

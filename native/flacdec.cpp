@@ -156,6 +156,21 @@ struct BitReader {
     return (int32_t)v;
   }
 
+  // sample reads can need up to 33 bits (32-bit stereo side channel:
+  // bps 32 + 1); read() tops out at 32, so wide reads split in two
+  inline int64_t read_signed_long(int bits) {  // 0 < bits <= 57
+    if (bits <= 32) return (int64_t)read_signed(bits);
+    const uint64_t hi = read(bits - 32);
+    const uint64_t v = (hi << 32) | (uint64_t)read(32);
+    if (v >> (bits - 1)) return (int64_t)v - ((int64_t)1 << bits);
+    return (int64_t)v;
+  }
+
+  // shift that tolerates s == 64 (a unary run ending exactly at a full
+  // 64-bit window makes lz + 1 == 64; `x << 64` is UB — on x86 the count
+  // masks to 0 and stale bits survive into the next refill)
+  static inline uint64_t shl64(uint64_t v, int s) { return s >= 64 ? 0 : v << s; }
+
   inline uint32_t read_unary() {
     uint32_t q = 0;
     for (;;) {
@@ -179,7 +194,7 @@ struct BitReader {
         continue;
       }
       q += lz;
-      acc <<= lz + 1;
+      acc = shl64(acc, lz + 1);
       n -= lz + 1;
       return q;
     }
@@ -191,7 +206,7 @@ struct BitReader {
     if (acc != 0) {
       const int lz = __builtin_clzll(acc);
       if (lz + 1 + param <= n) {  // fast path: whole codeword is buffered
-        const uint64_t a = acc << (lz + 1);
+        const uint64_t a = shl64(acc, lz + 1);
         const uint32_t rem = param ? (uint32_t)(a >> (64 - param)) : 0;
         acc = param ? (a << param) : a;
         n -= lz + 1 + param;
@@ -220,7 +235,7 @@ struct BitReader {
         continue;
       }
       q += lz;
-      acc <<= lz + 1;
+      acc = shl64(acc, lz + 1);
       n -= lz + 1;
       break;
     }
@@ -396,13 +411,13 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
   out.resize(block_size);
 
   if (stype == 0) {  // CONSTANT
-    const S v = (S)br.read_signed(eff);
+    const S v = (S)br.read_signed_long(eff);
     for (int i = 0; i < block_size; ++i) out[i] = v;
   } else if (stype == 1) {  // VERBATIM
-    for (int i = 0; i < block_size; ++i) out[i] = (S)br.read_signed(eff);
+    for (int i = 0; i < block_size; ++i) out[i] = (S)br.read_signed_long(eff);
   } else if (stype >= 8 && stype <= 12) {  // FIXED
     const int order = (int)stype - 8;
-    for (int i = 0; i < order; ++i) out[i] = (S)br.read_signed(eff);
+    for (int i = 0; i < order; ++i) out[i] = (S)br.read_signed_long(eff);
     scratch.resize(block_size);
     if (!decode_residual(br, block_size, order, scratch.data())) return false;
     switch (order) {
@@ -428,7 +443,7 @@ bool decode_subframe(BitReader& br, int block_size, int bps,
     }
   } else if (stype >= 32) {  // LPC
     const int order = (int)(stype & 0x1F) + 1;
-    for (int i = 0; i < order; ++i) out[i] = (S)br.read_signed(eff);
+    for (int i = 0; i < order; ++i) out[i] = (S)br.read_signed_long(eff);
     const int precision = (int)br.read(4) + 1;
     if (precision == 16) return false;  // escape value
     const int shift = br.read_signed(5);
@@ -606,7 +621,14 @@ int flac_info(const char* path, int64_t* frames, int32_t* sample_rate,
   fclose(f);
   flacdec::StreamInfo info;
   size_t off;
-  if (!flacdec::parse_stream_header(head, got, &info, &off)) return -2;
+  if (!flacdec::parse_stream_header(head, got, &info, &off)) {
+    // metadata larger than the fast-path buffer (cover art, big padding):
+    // the header walk needs every block present, so retry on the full file
+    std::vector<uint8_t> buf;
+    if (!flacdec::read_file(path, &buf) ||
+        !flacdec::parse_stream_header(buf.data(), buf.size(), &info, &off))
+      return -2;
+  }
   *frames = info.total_samples;
   *sample_rate = (int32_t)info.sample_rate;
   *channels = (int32_t)info.channels;

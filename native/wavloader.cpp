@@ -68,7 +68,9 @@ bool read_header(FILE* f, WavFormat* fmt) {
       memcpy(&fmt->channels, buf + 2, 2);
       memcpy(&fmt->sample_rate, buf + 4, 4);
       memcpy(&fmt->bits_per_sample, buf + 14, 2);
-      if (size > 16) fseek(f, size - 16, SEEK_CUR);
+      // skip extension bytes INCLUDING the word-alignment pad (an odd
+      // fmt size would otherwise misalign every subsequent chunk header)
+      if (size > 16) fseek(f, (size - 16) + (size & 1), SEEK_CUR);
       have_fmt = true;
     } else if (memcmp(id, "data", 4) == 0) {
       fmt->data_offset = ftell(f);
@@ -78,6 +80,15 @@ bool read_header(FILE* f, WavFormat* fmt) {
       fseek(f, size + (size & 1), SEEK_CUR);  // chunks are word-aligned
     }
   }
+}
+
+// Only these widths are decodable; anything else (incl. bits < 8, whose
+// bytes_per_sample would be 0 and divide-by-zero-crash the process) must
+// be rejected BEFORE any frame arithmetic.
+inline bool fmt_supported(const WavFormat& fmt) {
+  return fmt.channels > 0 &&
+         (fmt.bits_per_sample == 8 || fmt.bits_per_sample == 16 ||
+          fmt.bits_per_sample == 24 || fmt.bits_per_sample == 32);
 }
 
 // Decode `n_frames` frames starting at `start_frame` into mono float32.
@@ -159,7 +170,7 @@ int wav_info(const char* path, int64_t* frames, int32_t* sample_rate,
   WavFormat fmt;
   const bool ok = read_header(f, &fmt);
   fclose(f);
-  if (!ok || fmt.channels == 0 || fmt.bits_per_sample == 0) return -2;
+  if (!ok || !fmt_supported(fmt)) return -2;
   *frames = (int64_t)(fmt.data_bytes / ((fmt.bits_per_sample / 8) * fmt.channels));
   *sample_rate = (int32_t)fmt.sample_rate;
   *channels = (int32_t)fmt.channels;
@@ -300,7 +311,7 @@ int load_chunk_batch_rows(const char** paths, const double* start_seconds,
           continue;
         }
         WavFormat fmt;
-        if (!read_header(f, &fmt) || fmt.channels == 0) {
+        if (!read_header(f, &fmt) || !fmt_supported(fmt)) {
           status[j] = 2;
           fclose(f);
           continue;

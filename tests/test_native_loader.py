@@ -217,3 +217,34 @@ def test_native_mixed_wav_flac_batch(wavs, flacs):
     ref = load_chunk_batch(paths, starts, ends, sr=16000)
     out = load_chunk_batch_native(paths, starts, ends, sr=16000)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_native_rejects_sub_byte_bits_per_sample(tmp_path):
+    """A fmt chunk claiming bits_per_sample < 8 previously divided by zero
+    in the native loader (SIGFPE — whole-process crash); it must flag the
+    row and fall through to the Python loader's error instead."""
+    import struct
+
+    from audioanalysisdetector_tpu.io.native_loader import (
+        audio_info_native,
+        load_chunk_batch_native,
+    )
+
+    p = str(tmp_path / "bad.wav")
+    data = b"\x00" * 64
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 16000 // 2, 0, 4)  # bits=4
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    assert audio_info_native(p) is None  # native probe rejects, no crash
+    # surviving this call IS the regression check (it used to SIGFPE);
+    # stdlib wave rounds sampwidth up to 1 byte, so the Python fallback
+    # may legitimately decode the zero payload as silence
+    out, ok = load_chunk_batch_native([p], [0.0], [2.0], sr=16000, return_ok=True)
+    assert out.shape == (1, 32000)
+    assert np.isfinite(out).all()
