@@ -563,6 +563,9 @@ def cmd_train_3features(args) -> int:
     def featurize(w):
         return (
             cqcc(w, CQCCConfig.for_sr(args.sr)),
+            # gtcc stays in its spafe (T, 13) layout — the reference's
+            # MultiFeatureDataset feeds raw gfcc cells the same way
+            # (reference/ASV_dl_func.py:643-651; the trunk is shape-agnostic)
             gfcc(w, CepstralConfig(fs=args.sr, nfilts=40, fb_kind="gammatone")),
             mfcc(w, MFCCConfig.for_sr(args.sr)),
         )

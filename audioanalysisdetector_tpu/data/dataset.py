@@ -94,14 +94,14 @@ def prepare_dataframe(
     )
     for key, value in all_data.items():
         metadata_path = value["metadata"]
+        try:  # one parse per key, not per audio folder
+            meta_df = read_metadata(metadata_path)
+        except FileNotFoundError:
+            print(f"WARNING: metadata file not found: {metadata_path}")
+            continue
         key_chunks = []  # rescue snapshot accumulates across ALL folders of a key
         for audio_folder in value["flac"]:
-            try:
-                df = read_metadata(metadata_path)
-            except FileNotFoundError:
-                print(f"WARNING: metadata file not found: {metadata_path}")
-                continue
-            df = prepare_filepaths(df, audio_folder, extension=extension)
+            df = prepare_filepaths(meta_df, audio_folder, extension=extension)
             if df.empty:
                 continue
             if existing:

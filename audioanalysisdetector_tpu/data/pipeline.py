@@ -92,6 +92,8 @@ def _extract_formants_cells(
         analyze_formants_and_silence,
     )
 
+    from audioanalysisdetector_tpu.io.audio import audio_info
+
     paths = df[path_col].tolist()
     starts = df.get("chunk_start", pd.Series([0.0] * len(df))).tolist()
     ends = df.get("chunk_end", pd.Series([2.0] * len(df))).tolist()
@@ -101,7 +103,20 @@ def _extract_formants_cells(
         wav, ok = load_chunk_batch(
             paths[lo:hi], starts[lo:hi], ends[lo:hi], sr=sr, return_ok=True
         )
-        for row, good in zip(wav, ok):
+        # trim each row to the file's TRUE duration: the batch loader
+        # zero-pads short reads to the fixed window, and padding silence
+        # would dominate silence_ratio / segment stats (the reference's
+        # Praat analysis sees the unpadded file, ASV_dl_func.py:343-401)
+        true_n = []
+        for j in range(lo, hi):
+            try:
+                info = audio_info(paths[j])
+                avail = info.frames / info.samplerate - float(starts[j])
+                true_n.append(int(max(0.0, min(avail, ends[j] - starts[j])) * sr))
+            except Exception:  # unreadable: row already flagged by the loader
+                true_n.append(wav.shape[1])
+        for (row, good), n_real in zip(zip(wav, ok), true_n):
+            row = row[: max(n_real, 1)]
             if not good:
                 cells.append(None)
                 continue
@@ -143,31 +158,39 @@ def _batch_sharding(batch_size: int):
     return NamedSharding(make_mesh(n_dev, axis="data"), PartitionSpec("data"))
 
 
-def _jitted_runners(feature_fn: Callable, mean: bool):
-    """Jitted plain/augmented runners, cached by (feature_fn, mean) so
-    repeated ``extract_features`` calls (train metadata then eval metadata)
-    reuse compiled programs instead of re-tracing every frontend. Relies on
-    ``default_extractors`` returning stable callables per ``sr``; an
-    unhashable user callable just skips the cache."""
+# features whose OUTPUT layout is time-major (..., T, coeffs) — the spafe
+# parity contract for lfcc/gfcc (frontend/cepstral.py) — vs the repo
+# convention (..., coeffs, T). Mean pooling must reduce the TIME axis of
+# whichever layout the feature uses (docs/PARITY.md: the reference copies
+# disagree on the axis; the canonical semantic here is the time mean).
+TIME_MAJOR_FEATURES = frozenset({"lfcc", "gtcc"})
+
+
+def _jitted_runners(feature_fn: Callable, mean: bool, time_axis: int = -1):
+    """Jitted plain/augmented runners, cached by (feature_fn, mean,
+    time_axis) so repeated ``extract_features`` calls (train metadata then
+    eval metadata) reuse compiled programs instead of re-tracing every
+    frontend. Relies on ``default_extractors`` returning stable callables
+    per ``sr``; an unhashable user callable just skips the cache."""
     try:
-        return _jitted_runners_cached(feature_fn, mean)
+        return _jitted_runners_cached(feature_fn, mean, time_axis)
     except TypeError:
-        return _build_runners(feature_fn, mean)
+        return _build_runners(feature_fn, mean, time_axis)
 
 
 @lru_cache(maxsize=64)
-def _jitted_runners_cached(feature_fn: Callable, mean: bool):
-    return _build_runners(feature_fn, mean)
+def _jitted_runners_cached(feature_fn: Callable, mean: bool, time_axis: int):
+    return _build_runners(feature_fn, mean, time_axis)
 
 
-def _build_runners(feature_fn: Callable, mean: bool):
+def _build_runners(feature_fn: Callable, mean: bool, time_axis: int):
     def _finish(feats):
-        # mean pooling reduces the TIME axis; features with no time axis
-        # (wpt's (B, 8) band energies, reference/train_fun.py:132-138)
-        # pass through unchanged — pooling them would collapse the feature
-        # vector itself to one scalar
+        # mean pooling reduces the TIME axis (position given by the
+        # feature's layout); features with no time axis (wpt's (B, 8) band
+        # energies, reference/train_fun.py:132-138) pass through unchanged
+        # — pooling them would collapse the feature vector to one scalar
         if mean and feats.ndim > 2:
-            return jnp.mean(feats, axis=-1)
+            return jnp.mean(feats, axis=time_axis)
         return feats
 
     @jax.jit
@@ -192,6 +215,7 @@ def extract_feature_array(
     path_col: str = "file_path",
     aug_col: str = "augmentationType",
     mean: bool = False,
+    time_axis: int = -1,
     seed: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """((len(df), ...) features, (len(df),) ok-mask), batched through the
@@ -207,7 +231,7 @@ def extract_feature_array(
     codes = _aug_codes_from(df, aug_col)
     sharding = _batch_sharding(batch_size)
 
-    run_plain, run_augmented = _jitted_runners(feature_fn, mean)
+    run_plain, run_augmented = _jitted_runners(feature_fn, mean, time_axis)
     key = jax.random.PRNGKey(seed)
     outs, oks = [], []
     for lo in range(0, len(paths), batch_size):
@@ -278,6 +302,7 @@ def extract_features(
         arr, ok = extract_feature_array(
             df, fn, sr=sr, batch_size=batch_size, path_col=col_name,
             aug_col=aug_col, mean=mean, seed=seed,
+            time_axis=-2 if name in TIME_MAJOR_FEATURES else -1,
         )
         # failed rows become None cells (reference error policy, §2.1) so
         # data.filtr_nan drops them downstream

@@ -78,8 +78,10 @@ class CQTConfig:
 
 
 def _hann(n: int) -> np.ndarray:
-    # symmetric hann over the filter support
-    return 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n) / max(n - 1, 1))
+    # symmetric hann over the filter support (windows.py owns the formula)
+    from audioanalysisdetector_tpu.frontend.windows import get_window
+
+    return get_window("hann", n, periodic=False)
 
 
 @lru_cache(maxsize=None)

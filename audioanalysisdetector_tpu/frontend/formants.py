@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audioanalysisdetector_tpu.frontend.windows import get_window
+
 _P_REF = 2e-5  # 20 µPa, Praat's dB SPL reference
 
 
@@ -46,7 +48,7 @@ def intensity_db(
         )
     n_frames = 1 + (n - frame) // hop
     idx = np.arange(n_frames)[:, None] * hop + np.arange(frame)[None, :]
-    w = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(frame) / frame)
+    w = get_window("hann", frame, periodic=True)
     frames = y[..., idx] * jnp.asarray(w, y.dtype)
     rms = jnp.sqrt(jnp.mean(frames * frames, axis=-1) + 1e-20)
     return 20.0 * jnp.log10(rms / _P_REF)

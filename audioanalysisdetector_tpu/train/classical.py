@@ -37,6 +37,11 @@ def expand_feature_columns(
     expanded_list = []
     for col in feature_columns:
         df_clean = df.dropna(subset=[col])
+        if df_clean.empty:
+            raise ValueError(
+                f"feature column {col!r} has no non-null cells — its "
+                "extractor failed for every row (check the per-file warnings)"
+            )
         first = df_clean[col].iloc[0]
         if isinstance(first, dict):
             expanded = df_clean[col].apply(pd.Series)

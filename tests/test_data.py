@@ -248,3 +248,20 @@ def test_prepare_dataframe_flac_tree_end_to_end(tmp_path, rng):
 
     out = extract_features(df, ["cqcc"], batch_size=4)
     assert out["cqcc"].iloc[0].shape == (19, 63)
+
+
+def test_mean_pooling_reduces_time_for_time_major_features(corpus):
+    """lfcc/gtcc keep the spafe (T, n_ceps) layout, so mean=True must pool
+    the TIME axis (axis -2) — the reference's classical path expects 13-dim
+    time-mean cepstra (reference/train_fun.py:85-88), not per-frame
+    coefficient averages whose length depends on the clip duration."""
+    base, meta, audio_dir = corpus
+    all_data = {"LA": {"metadata": meta, "flac": [audio_dir]}}
+    df = prepare_dataframe(
+        all_data, balance=False, sample_size=None, extension=".wav",
+        rescue_dir=None,
+    )
+    out = extract_features(df.head(3), ["lfcc", "gtcc", "mfcc"], mean=True)
+    assert np.asarray(out["lfcc"].iloc[0]).shape == (13,)
+    assert np.asarray(out["gtcc"].iloc[0]).shape == (13,)
+    assert np.asarray(out["mfcc"].iloc[0]).shape == (13,)
