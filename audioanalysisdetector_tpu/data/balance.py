@@ -29,6 +29,12 @@ def _resample_with_replacement(df: pd.DataFrame, n: int, seed: int) -> pd.DataFr
 def balance_upsample(df: pd.DataFrame, col_name: str = "label_num", *, seed: int = 42) -> pd.DataFrame:
     df0 = df[df[col_name] == 0]
     df1 = df[df[col_name] == 1]
+    if df0.empty or df1.empty:
+        # e.g. every row of one class dropped by decode failure + filtr_nan
+        # — rng.integers(0, 0) would raise a cryptic 'low >= high' instead
+        raise ValueError(
+            f"balance_upsample: class {'0' if df0.empty else '1'} has no rows"
+        )
     if len(df0) > len(df1):
         df1 = _resample_with_replacement(df1, len(df0), seed)
     else:

@@ -21,8 +21,23 @@ def to_array_safe(x) -> np.ndarray:
     try:
         arr = np.asarray(x)
     except Exception:
-        arr = np.asarray([x])
+        # ragged nested list: numpy >= 1.24 raises here AND on the old
+        # [x]-wrap fallback — recursive flatten is the working path
+        return np.asarray(list(_flatten(x)), dtype=float)
+    if arr.dtype == object:
+        # ragged nested cells (numpy >= 1.24 refuses implicit object
+        # arrays only sometimes — when it doesn't, ravel would keep
+        # sub-lists as elements): flatten recursively instead
+        return np.asarray(list(_flatten(x)), dtype=float)
     return np.ravel(arr)
+
+
+def _flatten(v):
+    if isinstance(v, (list, tuple, np.ndarray)):
+        for item in v:
+            yield from _flatten(item)
+    else:
+        yield float(v)
 
 
 def build_X_from_df(df: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
@@ -44,8 +59,9 @@ def build_X_from_df(df: pd.DataFrame, feature_cols: list[str]) -> np.ndarray:
 
 def prepare_data_gmm_bilstm(df: pd.DataFrame, col_name: str = "cqcc") -> pd.DataFrame:
     """Drop null feature cells, transpose each CQCC cell to time-major."""
-    from audioanalysisdetector_tpu.frontend.cqcc import transpose_cqcc
-
     df = filtr_nan(df, col_name).copy()
-    df[col_name] = df[col_name].map(lambda x: np.asarray(transpose_cqcc(np.asarray(x))))
+    # host numpy per cell — transpose_cqcc is a jnp op, and an eager jnp
+    # call PER ROW is one tunnel dispatch + fetch each on remote TPU
+    # runtimes (CLAUDE.md); a host swapaxes is the identical contract
+    df[col_name] = df[col_name].map(lambda x: np.swapaxes(np.asarray(x), -1, -2))
     return df

@@ -39,22 +39,29 @@ def save_checkpoint(path: str, state: Any, *, metadata: dict | None = None) -> N
 
 
 def restore_checkpoint(path: str, state: Any) -> Any:
-    """Restore into a template TrainState (shapes/treedef must match)."""
+    """Restore into a template TrainState (shapes/treedef must match).
+
+    Mirrors ``save_checkpoint``'s tolerance: a state without a
+    ``batch_stats`` field (e.g. a plain flax TrainState for a BN-free
+    model) restores params/opt_state/step and skips the missing field."""
     with open(path, "rb") as f:
         data = f.read()
+    has_bn = hasattr(state, "batch_stats")
     template = {
         "step": np.asarray(state.step),
         "params": _to_host(state.params),
-        "batch_stats": _to_host(state.batch_stats),
+        "batch_stats": _to_host(state.batch_stats) if has_bn else {},
         "opt_state": _to_host(state.opt_state),
     }
     payload = serialization.from_bytes(template, data)
-    return state.replace(
+    kwargs = dict(
         step=payload["step"],
         params=payload["params"],
-        batch_stats=payload["batch_stats"],
         opt_state=payload["opt_state"],
     )
+    if has_bn:
+        kwargs["batch_stats"] = payload["batch_stats"]
+    return state.replace(**kwargs)
 
 
 def load_payload(path: str) -> dict:

@@ -13,11 +13,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def roc_curve_np(y_true: np.ndarray, scores: np.ndarray):
-    """(fpr, tpr, thresholds) with sklearn's conventions (drop-none variant).
+def roc_curve_np(y_true: np.ndarray, scores: np.ndarray, *, drop_intermediate: bool = True):
+    """(fpr, tpr, thresholds) with sklearn's conventions.
 
     Thresholds descend; each unique score is a threshold; a leading
     ``+inf``-like point (sklearn uses max+1) pins (fpr, tpr) = (0, 0).
+    ``drop_intermediate`` removes suboptimal collinear interior points —
+    sklearn's DEFAULT, and part of the reference's EER contract: the
+    ``argmin |fnr - fpr|`` runs over the thinned candidate set, so keeping
+    every point can pick a different crossover (saturated-sigmoid score
+    runs make this common, not exotic).
     """
     y_true = np.asarray(y_true).astype(bool)
     scores = np.asarray(scores, dtype=np.float64)
@@ -28,16 +33,29 @@ def roc_curve_np(y_true: np.ndarray, scores: np.ndarray):
     idx = np.r_[distinct, y_true.size - 1]
     tps = np.cumsum(y_sorted)[idx]
     fps = 1 + idx - tps
+    if drop_intermediate and len(fps) > 2:
+        keep = np.where(
+            np.r_[True, np.logical_or(np.diff(fps, 2), np.diff(tps, 2)), True]
+        )[0]
+        fps, tps, idx = fps[keep], tps[keep], idx[keep]
+    thresholds = np.r_[s_sorted[0] + 1, s_sorted[idx]]
     tps = np.r_[0, tps]
     fps = np.r_[0, fps]
-    thresholds = np.r_[s_sorted[0] + 1, s_sorted[idx]]
     p = max(tps[-1], 1)
     n = max(fps[-1], 1)
     return fps / n, tps / p, thresholds
 
 
 def eer(y_true, scores) -> float:
-    """The reference's EER: ``fpr[argmin |fnr - fpr|]``."""
+    """The reference's EER: ``fpr[argmin |fnr - fpr|]``.
+
+    Raises on single-class labels — the reference's sklearn path yields
+    NaN there and fails loudly; silently returning a 'valid' number would
+    let a labeling bug flow into run artifacts.
+    """
+    y = np.asarray(y_true).astype(bool)
+    if y.all() or not y.any():
+        raise ValueError("eer: y_true contains a single class")
     fpr, tpr, _ = roc_curve_np(y_true, scores)
     fnr = 1.0 - tpr
     return float(fpr[np.nanargmin(np.abs(fnr - fpr))])
@@ -84,14 +102,23 @@ def eer_jnp(y_true: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
 
     Evaluates FPR/FNR at all N thresholds via an (N, N) comparison — fine for
     eval-set sizes (N ≈ thousands), keeps metric computation on-chip.
+
+    An APPROXIMATION of the host ``eer``: scores compare in float32 (TPU
+    default) and no drop-intermediate thinning runs (a data-dependent
+    candidate set is not jit-expressible in fixed shapes) — use the host
+    metric for reported numbers, this one for in-loop monitoring.
     """
     y = y_true.astype(jnp.bool_)
-    s = scores.astype(jnp.float32)
-    ge = s[None, :] >= s[:, None]  # [t, i]: score_i >= threshold_t
+    # thresholds in DESCENDING order so argmin's first-occurrence tie rule
+    # matches the host's descending-threshold candidate order; the virtual
+    # (fpr, fnr) = (0, 1) point mirrors the host curve's leading max+1 row
+    s = -jnp.sort(-scores.astype(jnp.float32))
+    ge = scores.astype(jnp.float32)[None, :] >= s[:, None]  # [t, i]
     p = jnp.maximum(jnp.sum(y), 1)
     n = jnp.maximum(jnp.sum(~y), 1)
     tpr = jnp.sum(ge & y[None, :], axis=1) / p
     fpr = jnp.sum(ge & (~y)[None, :], axis=1) / n
-    fnr = 1.0 - tpr
+    fpr = jnp.concatenate([jnp.zeros(1, fpr.dtype), fpr])
+    fnr = jnp.concatenate([jnp.ones(1, tpr.dtype), 1.0 - tpr])
     k = jnp.argmin(jnp.abs(fnr - fpr))
     return fpr[k]

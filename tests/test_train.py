@@ -337,3 +337,37 @@ def test_orbax_checkpoint_roundtrip(rng, tmp_path):
         jax.tree_util.tree_leaves(state.params), jax.tree_util.tree_leaves(restored.params)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eer_matches_sklearn_on_saturated_scores(rng):
+    """The reference's EER runs argmin over sklearn's DEFAULT
+    (drop_intermediate=True) ROC; degenerate score runs — routine with
+    saturated sigmoids — are where keeping every collinear point can pick
+    a different crossover."""
+    for trial in range(20):
+        r = np.random.default_rng(trial)
+        y = r.integers(0, 2, 80)
+        # quantized / saturated scores: long same-value runs
+        s = np.round(r.random(80) * 4) / 4 + y * 0.1
+        fpr, tpr, _ = roc_curve(y, s, pos_label=1)
+        fnr = 1 - tpr
+        ref = fpr[np.nanargmin(np.abs(fnr - fpr))]
+        assert np.isclose(eer(y, s), ref), trial
+
+
+def test_eer_drop_intermediate_crossing_run():
+    """A straight same-class ROC segment CROSSING the fnr=fpr diagonal is
+    the case where the thinning matters: sklearn keeps only the segment's
+    corners, so the reference picks a corner (EER 0.0 here) while the
+    drop-none curve picks the interior crossover point (0.5) — a massive
+    divergence pinned exactly."""
+    y = np.array([1] * 4 + [0] * 10)
+    s = np.concatenate([np.array([0.9, 0.8, 0.3, 0.2]), np.linspace(0.7, 0.4, 10)])
+    fpr, tpr, _ = roc_curve(y, s, pos_label=1)
+    ref = fpr[np.nanargmin(np.abs(1 - tpr - fpr))]
+    assert np.isclose(eer(y, s), ref) and np.isclose(ref, 0.0)
+
+
+def test_eer_single_class_raises():
+    with pytest.raises(ValueError, match="single class"):
+        eer(np.ones(10, int), np.random.default_rng(0).random(10))
