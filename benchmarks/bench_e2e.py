@@ -120,10 +120,13 @@ def main() -> None:
         x0 = jnp.asarray(
             (rng.standard_normal((BATCH, SR * SECONDS)) * 3000).astype(np.int16)
         )
-        x0 = jax.device_put(x0)
         acc = scorer(x0, jnp.zeros((), jnp.float32))  # compile
         float(acc)
-        n_iters = 12
+        # enough iterations that the tunnel's fixed ~69 ms final-fetch
+        # latency (plus per-dispatch RPCs) stays a small fraction of the
+        # timed interval — at ~185k utt/s, 12x512 was only ~35 ms of real
+        # compute and the lane underreported by 2x+
+        n_iters = 200
         t0 = time.perf_counter()
         acc = jnp.zeros((), jnp.float32)
         for _ in range(n_iters):

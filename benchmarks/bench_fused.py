@@ -68,7 +68,11 @@ def main() -> None:
 
     # inputs generated ON DEVICE (the tunnel's ~20-40 MB/s H2D would
     # otherwise dominate; bench_e2e.py measures the upload-inclusive path)
-    wav = jax.random.normal(jax.random.PRNGKey(1), (batch, sr * seconds)) * 0.1
+    # one jitted dispatch — eager normal+multiply on a 512 MB array would
+    # run op-by-op through the tunnel (CLAUDE.md)
+    wav = jax.jit(
+        lambda k: jax.random.normal(k, (batch, sr * seconds)) * 0.1
+    )(jax.random.PRNGKey(1))
     acc = step(wav, jnp.zeros((), jnp.float32))  # compile
     assert np.isfinite(float(acc))
 
