@@ -75,7 +75,11 @@ def mel_filterbank(
     htk: bool = False,
     norm: str | None = "slaney",
 ) -> np.ndarray:
-    """Triangular mel filterbank ``(n_mels, n_fft//2+1)`` (float64, host)."""
+    """Triangular mel filterbank ``(n_mels, n_fft//2+1)`` (float64, host).
+
+    The returned array is CACHED and read-only — in-place mutation by a
+    caller would silently poison every later mel computation in-process.
+    """
     fmax = sr / 2.0 if fmax is None else fmax
     fftfreqs = fft_frequencies(sr, n_fft)
     mel_f = mel_frequencies(n_mels + 2, fmin, fmax, htk=htk)
@@ -89,6 +93,7 @@ def mel_filterbank(
         weights = weights * enorm[:, None]
     elif norm is not None:
         raise ValueError(f"unsupported mel norm {norm!r}")
+    weights.flags.writeable = False
     return weights
 
 

@@ -33,10 +33,18 @@ from audioanalysisdetector_tpu.frontend.windows import get_window, pad_center
 
 
 def n_frames_for(n_samples: int, hop_length: int, n_fft: int, center: bool) -> int:
-    """Number of STFT frames for a signal of static length ``n_samples``."""
-    if center:
-        return 1 + n_samples // hop_length
-    return 1 + (n_samples - n_fft) // hop_length
+    """Number of STFT frames for a signal of static length ``n_samples``.
+
+    Exactly ``frame_signal``'s count — for odd ``n_fft`` the center padding
+    is ``2 * (n_fft // 2) = n_fft - 1``, so the popular ``1 + n // hop``
+    shortcut is one off there."""
+    padded = n_samples + 2 * (n_fft // 2) if center else n_samples
+    if padded < n_fft:
+        raise ValueError(
+            f"signal of {n_samples} samples is shorter than one {n_fft}-point "
+            f"frame (center={center})"
+        )
+    return 1 + (padded - n_fft) // hop_length
 
 
 @lru_cache(maxsize=None)
@@ -69,6 +77,13 @@ def frame_signal(
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         y = jnp.pad(y, pad, mode=pad_mode)
     n = y.shape[-1]
+    if n < n_fft:
+        # librosa raises here too; a silent (..., 0, n_fft) result would
+        # propagate empty GEMMs far downstream before anything complains
+        raise ValueError(
+            f"signal of {n} samples (after padding) is shorter than one "
+            f"{n_fft}-point frame"
+        )
     num = 1 + (n - n_fft) // hop_length
     idx = np.arange(num)[:, None] * hop_length + np.arange(n_fft)[None, :]
     return y[..., idx]
@@ -225,18 +240,21 @@ def power_spectrogram(
             y, n_fft=n_fft, hop_length=hop_length, pad_mode=pad_mode
         )
         mag2 = jnp.swapaxes(mag2, -1, -2)  # back to (..., T, F) for the tail
-        frames = None
     elif method == "matmul":
         frames = frame_signal(y, n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode)
         cos_b, sin_b = _rdft_bases(n_fft, window, win_length)
         re = frames @ jnp.asarray(cos_b)
         im = frames @ jnp.asarray(sin_b)
         mag2 = re * re + im * im
-    else:
+    elif method == "fft":
         frames = frame_signal(y, n_fft=n_fft, hop_length=hop_length, center=center, pad_mode=pad_mode)
         w = jnp.asarray(_window_array(window, win_length, n_fft), dtype=y.dtype)
         spec = jnp.fft.rfft(frames * w, axis=-1)
         mag2 = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    else:
+        # a typo'd method must fail HERE, not route to the FFT path (which
+        # is UNIMPLEMENTED on some TPU runtimes and dies far away)
+        raise ValueError(f"unknown stft method {method!r}")
     if power == 2.0:
         out = mag2
     elif power == 1.0:

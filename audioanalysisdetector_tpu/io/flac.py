@@ -401,7 +401,15 @@ def decode_flac(path: str) -> tuple[np.ndarray, FlacStreamInfo]:
     blocks = []
     total = 0
     while pos < len(data) and (info.total_samples == 0 or total < info.total_samples):
-        block, pos = _decode_frame(data, pos, info)
+        try:
+            block, pos = _decode_frame(data, pos, info)
+        except FlacError:
+            if info.total_samples == 0 and blocks:
+                # unknown-length stream (streaming encoder): trailing
+                # non-frame bytes after the last good frame are tolerated —
+                # every declared frame was already recovered
+                break
+            raise
         blocks.append(block)
         total += block.shape[0]
     if info.total_samples and total < info.total_samples:
@@ -508,6 +516,15 @@ def _write_residual(
         max_q = int(zig.max(initial=0)) >> param
         if max_q > 1024:
             raw_bits = max(int(np.abs(part).max(initial=0)).bit_length() + 1, 1)
+            if raw_bits > 31:
+                # the escape header is a 5-bit field; silently masking it
+                # would write an undecodable stream. Residuals this wide
+                # mean a degenerate predictor — refuse loudly.
+                raise FlacError(
+                    f"residual needs {raw_bits}-bit raw escape (> 31) — "
+                    "predictor degenerate for this input; use subframe_mode="
+                    "'verbatim' or 'fixed'"
+                )
             bw.write(15, 4)
             bw.write(raw_bits, 5)
             for v in part:
