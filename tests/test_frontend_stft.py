@@ -90,3 +90,36 @@ def test_block_method_eligibility():
     assert not block_method_eligible(2048, 512, 1024, "hann", True)   # short window
     assert not block_method_eligible(2048, 512, None, "hamming", True)
     assert not block_method_eligible(2048, 512, None, "hann", False)  # no centering
+
+
+def test_n_frames_for_matches_frame_signal_odd_nfft():
+    """Odd n_fft center-pads by n_fft-1, so the 1 + n//hop shortcut is one
+    off — n_frames_for must agree with frame_signal exactly."""
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.stft import frame_signal, n_frames_for
+
+    for n, hop, nfft, center in [
+        (1000, 100, 255, True), (1000, 100, 256, True),
+        (32000, 512, 2048, True), (4096, 256, 1023, False),
+    ]:
+        frames = frame_signal(jnp.zeros(n), n_fft=nfft, hop_length=hop, center=center)
+        assert frames.shape[-2] == n_frames_for(n, hop, nfft, center), (n, hop, nfft, center)
+
+
+def test_stft_rejects_bad_method_and_short_signal():
+    import jax.numpy as jnp
+    import pytest
+
+    from audioanalysisdetector_tpu.frontend.stft import (
+        frame_signal,
+        n_frames_for,
+        power_spectrogram,
+    )
+
+    with pytest.raises(ValueError, match="unknown stft method"):
+        power_spectrogram(jnp.zeros(4096), n_fft=512, method="matmuul")
+    with pytest.raises(ValueError, match="shorter than one"):
+        frame_signal(jnp.zeros(100), n_fft=512, hop_length=128, center=False)
+    with pytest.raises(ValueError, match="shorter than one"):
+        n_frames_for(100, 128, 512, False)
