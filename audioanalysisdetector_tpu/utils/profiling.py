@@ -41,7 +41,11 @@ class StepTimer:
         """
 
         def sync(x):
-            jax.block_until_ready(x)
+            # fetch one leaf — on remote-tunnel TPU runtimes
+            # block_until_ready alone returns before the work runs
+            leaves = jax.tree_util.tree_leaves(x)
+            if leaves:
+                np.asarray(leaves[0]).ravel()[:1]
             return x
 
         t0 = time.perf_counter()
