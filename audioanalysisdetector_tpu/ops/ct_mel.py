@@ -136,12 +136,15 @@ def ct_mel(
         raise ValueError(f"batch {B} must be a multiple of {UTT_TILE}")
     if hop % N1 or n_fft % hop:
         raise ValueError(f"need hop % {N1} == 0 and n_fft % hop == 0")
-    if (n_frames - 1) * hop + n_fft > n_pad_len:
-        raise ValueError("padded signal too short for n_frames")
     if n_pad_len % N1:
         extra = N1 - n_pad_len % N1
         wav_padded = jnp.pad(wav_padded, ((0, 0), (0, extra)))
         n_pad_len += extra
+    # coverage is checked against the ROUNDED-UP length (the docstring's
+    # contract) — checking before the pad rejected inputs whose tail frame
+    # fits only after the 64-multiple zeros
+    if (n_frames - 1) * hop + n_fft > n_pad_len:
+        raise ValueError("padded signal too short for n_frames")
     n_chunks = n_pad_len // N1
     wav3 = wav_padded.reshape(B, n_chunks, N1)  # host/XLA-side chunking
     ops = [jnp.asarray(o) for o in _ct_operands(cfg)]

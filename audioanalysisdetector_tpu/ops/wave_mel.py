@@ -76,6 +76,10 @@ def wave_mel(
     n_fft, hop = cfg.n_fft, cfg.hop_length
     if B % UTT_TILE:
         raise ValueError(f"batch {B} must be a multiple of {UTT_TILE}")
+    if (n_frames - 1) * hop + n_fft > n_pad_len:
+        # Pallas loads are NOT bounds-checked in-kernel: an oversized
+        # n_frames would read clamped/garbage tail frames silently
+        raise ValueError("padded signal too short for n_frames")
     k_pad = _round_up(n_fft // 2 + 1, K_TILE)
     cos_np, sin_np, mel_np = _operands(cfg, k_pad)
     cos_p = jnp.asarray(cos_np)
@@ -115,12 +119,9 @@ def wave_mel(
         def _():
             out_ref[:] = out_ref[:] + contrib
 
-    grid = (k_pad // K_TILE, B // UTT_TILE)
-    # grid order: utterances innermost so the frames scratch built at k==0 is
-    # per-utterance-tile... NOTE: scratch persists across ALL grid steps, so
-    # the fill must key on the utterance index instead. We put utterances
-    # OUTER and frequencies inner: fill once per utt tile (k==0), accumulate
-    # over k, emit when k wraps.
+    # utterances OUTER, frequencies inner: the frames scratch persists
+    # across grid steps, so it fills once per utt tile (k==0) and
+    # accumulates over k, emitting when k wraps
     grid = (B // UTT_TILE, k_pad // K_TILE)
 
     out = pl.pallas_call(

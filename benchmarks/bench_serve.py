@@ -21,6 +21,8 @@ Run: python benchmarks/bench_serve.py [n_clients rows_per_req n_requests]
 
 import base64
 import json
+import os
+import math
 import sys
 import threading
 import time
@@ -30,7 +32,7 @@ import numpy as np
 
 
 def main() -> None:
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
     from audioanalysisdetector_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
@@ -93,6 +95,8 @@ def main() -> None:
         work = list(range(n_requests))
         work_lock = threading.Lock()
 
+        errors: list = []
+
         def client():
             while True:
                 with work_lock:
@@ -105,7 +109,11 @@ def main() -> None:
                 )
                 with urllib.request.urlopen(req, timeout=300) as r:
                     out = json.loads(r.read())
-                assert len(out["scores"]) == rows_per_req
+                if "scores" not in out or len(out["scores"]) != rows_per_req:
+                    # fail LOUDLY: a silent client death after popping a
+                    # work item would skew utt_per_s (total_rows / wall)
+                    errors.append(out)
+                    return
                 with lat_lock:
                     latencies.append(time.perf_counter() - t)
 
@@ -116,6 +124,8 @@ def main() -> None:
         for t in threads:
             t.join()
         served_s = time.perf_counter() - t0
+        if errors:
+            raise RuntimeError(f"server returned errors: {errors[:3]}")
         stats = batcher.stats.snapshot()
         server.close()
         lat = np.sort(latencies)
@@ -123,7 +133,7 @@ def main() -> None:
             "utt_per_s": round(total_rows / served_s, 1),
             "overhead_pct": round(100 * (served_s / direct_s - 1), 1),
             "p50_latency_ms": round(1000 * lat[len(lat) // 2], 1),
-            "p95_latency_ms": round(1000 * lat[int(len(lat) * 0.95) - 1], 1),
+            "p95_latency_ms": round(1000 * lat[min(math.ceil(len(lat) * 0.95) - 1, len(lat) - 1)], 1),
             "batcher": stats,
         }
 
