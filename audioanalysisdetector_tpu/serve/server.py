@@ -589,7 +589,13 @@ def build_mel_scorer(
                     f"dispatch rows {wav.shape[0]} not divisible by "
                     f"{n_dev} local devices"
                 )
-            return np.asarray(jitted(jax.device_put(jnp.asarray(wav), row_sharding)))
+            # host numpy straight to the sharded placement: each device gets
+            # its row shard in one H2D upload (jnp.asarray first would commit
+            # the whole batch to the default device, then reshard D2D — an
+            # extra full-batch hop on the serving hot path); dtype conversion
+            # stays host-side so the upload is already f32
+            wav = np.ascontiguousarray(wav, dtype=np.float32)
+            return np.asarray(jitted(jax.device_put(wav, row_sharding)))
 
         scorer.row_multiple = n_dev
     else:

@@ -14,6 +14,7 @@ from audioanalysisdetector_tpu.train.loop import (
     evaluate,
     fit,
     fit_bucketed,
+    would_use_dp,
 )
 from audioanalysisdetector_tpu.train.gmm_system import (
     eval_model,
@@ -65,6 +66,7 @@ __all__ = [
     "f1_binary",
     "f1_macro",
     "fit",
+    "would_use_dp",
     "fit_bucketed",
     "get_loss",
     "load_bilstm_model",

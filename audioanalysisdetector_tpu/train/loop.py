@@ -142,6 +142,18 @@ def _pick_dp_mesh(
     return make_mesh(n_dev, axis="data")
 
 
+def would_use_dp(batch_size: int) -> bool:
+    """Would ``fit(..., data_parallel=None)`` auto-shard this batch size
+    over the local devices (for a BN-free model)?
+
+    Callers that must build a model consistently with ``fit``'s decision
+    (e.g. choosing ``bn_axis_name`` for a sync-BN model before opting in
+    with ``data_parallel=True``) use this instead of re-deriving the
+    thresholds — one source of truth, no drift.
+    """
+    return _pick_dp_mesh(batch_size, None, has_batch_stats=False) is not None
+
+
 def fit(
     state: TrainState,
     train_data: tuple[np.ndarray, np.ndarray],

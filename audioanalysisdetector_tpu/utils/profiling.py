@@ -18,6 +18,19 @@ import jax
 import numpy as np
 
 
+def _fetch_one_element(leaf) -> None:
+    """Force execution by fetching O(1) bytes of ``leaf`` to the host.
+
+    Slicing to a single element first (an eager device-side op) keeps the
+    forced D2H transfer at one element regardless of output size; fetching
+    the whole leaf would bottleneck on the tunnel's ~20-40 MB/s D2H path
+    and swamp the timed span for multi-MB outputs.
+    """
+    if getattr(leaf, "ndim", 0) and getattr(leaf, "size", 1) != 1:
+        leaf = leaf.ravel()[:1]
+    np.asarray(leaf)
+
+
 @dataclass
 class StepTimer:
     """Accumulates per-step wall times.
@@ -41,11 +54,13 @@ class StepTimer:
         """
 
         def sync(x):
-            # fetch one leaf — on remote-tunnel TPU runtimes
-            # block_until_ready alone returns before the work runs
+            # fetch ONE ELEMENT of one leaf — on remote-tunnel TPU runtimes
+            # block_until_ready alone returns before the work runs, and
+            # fetching a whole leaf would make D2H bandwidth (~20-40 MB/s on
+            # the tunnel) dominate the measurement for large outputs
             leaves = jax.tree_util.tree_leaves(x)
             if leaves:
-                np.asarray(leaves[0]).ravel()[:1]
+                _fetch_one_element(leaves[0])
             return x
 
         t0 = time.perf_counter()
@@ -94,9 +109,9 @@ def profile_fn(fn, *args, iters: int = 10, warmup: int = 2, items: int | None = 
     the benchmarks use (one fetch for N iterations, see bench.py)."""
 
     def _force(x):
-        # fetch one leaf to the host — the only reliable sync on axon
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        np.asarray(leaf).ravel()[:1]
+        # fetch one ELEMENT of one leaf — the only reliable sync on axon,
+        # kept O(1) bytes so D2H bandwidth can't dominate the sample
+        _fetch_one_element(jax.tree_util.tree_leaves(x)[0])
         return x
 
     out = None

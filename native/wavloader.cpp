@@ -240,15 +240,44 @@ int load_chunk_batch_rows(const char** paths, const double* start_seconds,
       const int32_t* items = group_items.data() + group_off[g];
       const int32_t count = group_off[g + 1] - group_off[g];
 
+      // Per-worker scratch cap for grouped span decode: 32M samples = 128 MB
+      // (~33 min @ 16 kHz). Without a cap, two chunks of one file with widely
+      // separated starts (e.g. 0 s and 3600 s) would allocate and decode the
+      // whole intervening span; past the cap fall back to per-chunk decode
+      // (FLAC replays frames 0..start per chunk — slower, but bounded memory).
+      constexpr long kMaxSpanSamples = 32L * 1024 * 1024;
+
+      bool span_ok = count > 1;
+      long span_lo = 0, span_hi = 0;
       if (count > 1) {  // multi-chunk FLAC file: one span decode, slice rows
-        long span_lo = (long)(start_seconds[items[0]] * expected_sr + 0.5);
-        long span_hi = span_lo;
+        span_lo = (long)(start_seconds[items[0]] * expected_sr + 0.5);
+        span_hi = span_lo;
         for (int32_t k = 0; k < count; ++k) {
           const long s = (long)(start_seconds[items[k]] * expected_sr + 0.5);
           if (s < span_lo) span_lo = s;
           if (s > span_hi) span_hi = s;
         }
         span_hi += n_samples;
+        span_ok = span_hi - span_lo <= kMaxSpanSamples;
+      }
+      if (count > 1 && !span_ok) {  // too sparse: per-chunk decode each row
+        for (int32_t k = 0; k < count; ++k) {
+          const int32_t j = items[k];
+          float* dst = out + (long)(rows ? rows[j] : j) * n_samples;
+          const long start = (long)(start_seconds[j] * expected_sr + 0.5);
+          const long got1 =
+              flac_decode_chunk(paths[j], start, n_samples, expected_sr, dst);
+          if (got1 < 0) {
+            status[j] = (int32_t)(-got1);
+            continue;
+          }
+          status[j] = 0;
+          if (got1 < n_samples)
+            memset(dst + got1, 0, sizeof(float) * (size_t)(n_samples - got1));
+        }
+        continue;
+      }
+      if (count > 1) {
         scratch.resize((size_t)(span_hi - span_lo));
         const long got = flac_decode_chunk(paths[items[0]], span_lo,
                                            span_hi - span_lo, expected_sr,

@@ -174,3 +174,54 @@ def test_dryrun_other_device_counts():
 
     ge.dryrun_multichip(2)
     ge.dryrun_multichip(4)
+
+
+def test_dryrun_parent_never_initializes_backend():
+    """Outage regression (round 3): with the TPU tunnel dead, backend init
+    HANGS (doesn't raise), so ``dryrun_multichip``'s parent process must
+    decide inline-vs-subprocess WITHOUT initializing any backend. Run the
+    decision in a fresh process where any backend-init attempt explodes and
+    the subprocess spawn is stubbed; the spawn must still be requested with
+    a CPU-mesh child configuration."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+import sys
+sys.path.insert(0, %r)
+import jax
+from jax._src import xla_bridge
+
+def _boom(*a, **k):
+    raise AssertionError("parent initialized a JAX backend")
+
+# any path that would initialize a backend (and hang on a dead tunnel) trips
+jax.devices = _boom
+xla_bridge.backends = _boom
+assert not xla_bridge._backends, "backend already initialized in fresh proc"
+
+import subprocess as sp
+calls = {}
+
+def fake_run(cmd, **kw):
+    calls["cmd"], calls["env"] = cmd, kw.get("env", {})
+    return sp.CompletedProcess(cmd, 0, stdout="stub ok", stderr="")
+
+sp.run = fake_run
+import __graft_entry__ as ge
+ge.dryrun_multichip(8)
+assert "_dryrun_impl(8)" in calls["cmd"][-1], calls["cmd"]
+assert "--xla_force_host_platform_device_count=8" in calls["env"]["XLA_FLAGS"]
+assert calls["env"].get("JAX_PLATFORMS") == "cpu"
+assert not xla_bridge._backends, "spawn decision initialized a backend"
+print("DECISION-OK")
+""" % (repo,)
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "DECISION-OK" in proc.stdout
