@@ -222,7 +222,13 @@ def cmd_train(args) -> int:
 
     from audioanalysisdetector_tpu.frontend.mel import log_mel_spectrogram
     from audioanalysisdetector_tpu.models.cnn_bilstm import CNNBiLSTMHybrid
-    from audioanalysisdetector_tpu.train import TrainState, evaluate, fit, make_optimizer
+    from audioanalysisdetector_tpu.train import (
+        TrainState,
+        evaluate,
+        fit,
+        make_optimizer,
+        would_use_dp,
+    )
 
     paths = _collect_wavs(args.audio)
     if len(paths) < 4:
@@ -241,8 +247,7 @@ def cmd_train(args) -> int:
     # the BatchNorm hybrid we opt in EXPLICITLY with a sync-BN model — the
     # bn_axis_name pmean makes the sharded step numerically the global-batch
     # step (train/loop._pick_dp_mesh).
-    n_dev = jax.local_device_count()
-    use_dp = n_dev > 1 and args.batch_size % n_dev == 0 and args.batch_size >= 4 * n_dev
+    use_dp = would_use_dp(args.batch_size)  # same decision fit() will make
     model = CNNBiLSTMHybrid(logits=True, bn_axis_name="data" if use_dp else None)
     variables = model.init(jax.random.PRNGKey(args.seed), jnp.asarray(feats[:1]), train=False)
     state = TrainState.create(
@@ -356,14 +361,22 @@ def cmd_xai(args) -> int:
 
 def _eval_fused_system(
     best_state, g_gen, g_spoof, tr, y_tr, te, y_te, *,
-    batch_size: int, weight: float = 0.5, calibrate: bool = False,
+    batch_size: int, weight: float | str = 0.5, calibrate: bool = False,
+    gmm_deltas: bool = False,
 ):
     """Shared fused-system evaluation: per-arm diagnostics + fused metrics.
 
     Returns (gmm_metrics, fused_metrics, calibration) where ``gmm_metrics``
     is the GMM arm alone (LLR-ranking EER — if this is ~0.5 the arm
     contributes noise and fusion CANNOT help; see round-2 regression) and
-    ``calibration`` is the (scale, bias) used (1, 0 unless ``calibrate``).
+    ``calibration`` is the (scale, bias, weight) used (1, 0, w unless
+    ``calibrate``/auto-weight).
+
+    ``weight="auto"`` selects the BiLSTM fusion weight on the TRAIN split
+    (EER of the calibrated blend, ties toward the reference's 0.5); the
+    reference's literal 0.5/0.5 stays the default
+    (reference/ASV_dl_func.py:1448-1462). ``gmm_deltas`` scores the GMM arm
+    on CQCC+Δ+ΔΔ frames (must match ``train_gmm_system(deltas=True)``).
 
     ONE device pass per split: the arms (BiLSTM prob, LLR, empty mask) are
     the expensive part; the fused score is a host-side formula of them
@@ -378,9 +391,13 @@ def _eval_fused_system(
         make_arm_scorer,
     )
     from audioanalysisdetector_tpu.train import metrics as M
+    from audioanalysisdetector_tpu.train.gmm_system import add_sequence_deltas
 
     apply_fn, variables = best_state.apply_fn, {"params": best_state.params}
-    arms = make_arm_scorer(apply_fn, variables, g_gen, g_spoof)
+    arms = make_arm_scorer(
+        apply_fn, variables, g_gen, g_spoof,
+        gmm_feature_fn=add_sequence_deltas if gmm_deltas else None,
+    )
 
     def run_arms(x):
         ps, ls, es = [], [], []
@@ -395,35 +412,51 @@ def _eval_fused_system(
             es.append(np.asarray(e)[:nb])
         return np.concatenate(ps), np.concatenate(ls), np.concatenate(es)
 
-    def blend(p, llr, empty):
+    def blend(p, llr, empty, w):
         z = np.clip(scale * llr + bias, -30.0, 30.0)
-        f = weight * p + (1.0 - weight) / (1.0 + np.exp(-z))
+        f = w * p + (1.0 - w) / (1.0 + np.exp(-z))
         return np.where(empty, 0.5, f)  # empty-sequence rule, fused.py
 
     scale, bias = 1.0, 0.0
     op_threshold = 0.5  # the reference's decision contract
-    if calibrate:
+    auto_weight = weight == "auto"
+    w = 0.5 if auto_weight else float(weight)
+    if calibrate or auto_weight:
         p_tr, llr_tr, empty_tr = run_arms(tr)
-        scale, bias = fit_llr_calibration(llr_tr, y_tr)
-        # operating point from the TRAIN split: with calibrated but
-        # asymmetric arms the fused score can rank perfectly while the
-        # fixed 0.5 line sits off-center (score.fused.fit_decision_threshold)
-        op_threshold = fit_decision_threshold(blend(p_tr, llr_tr, empty_tr), y_tr)
+        if calibrate:
+            scale, bias = fit_llr_calibration(llr_tr, y_tr)
+        if auto_weight:
+            # fusion weight from the TRAIN split: minimize the calibrated
+            # blend's EER, ties toward the reference's 0.5 contract
+            cands = np.round(np.linspace(0.0, 1.0, 21), 3)
+            eers = np.array(
+                [M.eer(y_tr, blend(p_tr, llr_tr, empty_tr, c)) for c in cands]
+            )
+            w = float(cands[np.lexsort((np.abs(cands - 0.5), eers))[0]])
+        if calibrate:
+            # operating point from the TRAIN split: with calibrated but
+            # asymmetric arms the fused score can rank perfectly while the
+            # fixed 0.5 line sits off-center (score.fused.fit_decision_threshold)
+            op_threshold = fit_decision_threshold(
+                blend(p_tr, llr_tr, empty_tr, w), y_tr
+            )
     p_te, llr_te, empty_te = run_arms(te)
     gmm_metrics = {"eer": M.eer(y_te, llr_te)}
-    fused = blend(p_te, llr_te, empty_te)
+    fused = blend(p_te, llr_te, empty_te, w)
     y_pred = (fused > 0.5).astype(np.int64)
     fused_metrics = {
         "accuracy": M.accuracy(y_te, y_pred),
         "f1": M.f1_binary(y_te, y_pred),
         "eer": M.eer(y_te, fused),
     }
+    if auto_weight:
+        fused_metrics["fusion_weight"] = w
     if calibrate:
         y_op = (fused > op_threshold).astype(np.int64)
         fused_metrics["op_threshold"] = float(op_threshold)
         fused_metrics["accuracy_at_op"] = M.accuracy(y_te, y_op)
         fused_metrics["f1_at_op"] = M.f1_binary(y_te, y_op)
-    return gmm_metrics, fused_metrics, (scale, bias)
+    return gmm_metrics, fused_metrics, (scale, bias, w)
 
 
 def cmd_train_fused(args) -> int:
@@ -461,12 +494,12 @@ def cmd_train_fused(args) -> int:
     )
     _, g_gen, g_spoof = train_gmm_system(
         tr, y[:split], n_components=args.gmm_components, model_dir=args.run_dir,
-        adapt_mode=args.map_adapt,
+        adapt_mode=args.map_adapt, deltas=args.gmm_deltas,
     )
     gmm_metrics, fused_metrics, _ = _eval_fused_system(
         result.best_state, g_gen, g_spoof, tr, y[:split], te, y[split:],
         batch_size=args.batch_size, weight=args.fusion_weight,
-        calibrate=args.calibrate_llr,
+        calibrate=args.calibrate_llr, gmm_deltas=args.gmm_deltas,
     )
     print(json.dumps({
         "bilstm": bilstm_metrics, "gmm": gmm_metrics, "fused": fused_metrics,
@@ -479,35 +512,19 @@ def cmd_train_asvspoof(args) -> int:
     real ASVspoof LA tree (or the synthetic surrogate corpus): metadata +
     FLAC/WAV folders -> 2-s chunks -> CQCC -> balance -> scale -> BiLSTM ->
     GMM-UBM + MAP -> fused eval (ASV_deep_learning.ipynb cells 22-25)."""
-    import jax.numpy as jnp
-
-    from audioanalysisdetector_tpu.data import (
-        balance_upsample,
-        extract_features,
-        prepare_dataframe,
-    )
     from audioanalysisdetector_tpu.data.scaler import prepare_train_test_data
-    from audioanalysisdetector_tpu.data.shape_utils import prepare_data_gmm_bilstm
     from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
     from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
+    from audioanalysisdetector_tpu.train.quality import build_cqcc_arrays
 
     os.makedirs(args.run_dir, exist_ok=True)
 
     def build(metadata: str, name: str) -> tuple[np.ndarray, np.ndarray]:
-        all_data = {name: {"metadata": metadata, "flac": args.audio_dir}}
-        df = prepare_dataframe(
-            all_data, balance=False, sample_size=args.sample_size,
-            extension=args.extension, rescue_dir=args.run_dir,
+        return build_cqcc_arrays(
+            metadata, args.audio_dir, name=name, sr=args.sr,
+            sample_size=args.sample_size, extension=args.extension,
+            rescue_dir=args.run_dir, seed=args.seed, balance=name == "train",
         )
-        if df.empty:
-            raise SystemExit(f"no usable utterances from {metadata}")
-        df = extract_features(df, ["cqcc"], sr=args.sr)
-        df = prepare_data_gmm_bilstm(df)  # filtr_nan + time-major transpose
-        df["label_num"] = (df["label"].astype(str).str.lower() == "spoof").astype(int)
-        if name == "train":
-            df = balance_upsample(df, seed=args.seed)
-        x = np.stack([np.asarray(c, np.float32) for c in df["cqcc"]])
-        return x, df["label_num"].to_numpy()
 
     x_tr, y_tr = build(args.train_metadata, "train")
     x_te, y_te = build(args.eval_metadata, "eval")
@@ -521,17 +538,20 @@ def cmd_train_asvspoof(args) -> int:
     )
     _, g_gen, g_spoof = train_gmm_system(
         tr, y_tr, n_components=args.gmm_components, model_dir=args.run_dir,
-        adapt_mode=args.map_adapt,
+        adapt_mode=args.map_adapt, deltas=args.gmm_deltas,
     )
     gmm_metrics, fused_metrics, calibration = _eval_fused_system(
         result.best_state, g_gen, g_spoof, tr, y_tr, te, y_te,
         batch_size=args.batch_size, weight=args.fusion_weight,
-        calibrate=args.calibrate_llr,
+        calibrate=args.calibrate_llr, gmm_deltas=args.gmm_deltas,
     )
     print(json.dumps({
         "bilstm": bilstm_metrics, "gmm": gmm_metrics, "fused": fused_metrics,
         "n_train": int(len(y_tr)), "n_eval": int(len(y_te)),
-        "calibration": {"scale": calibration[0], "bias": calibration[1]},
+        "calibration": {
+            "scale": calibration[0], "bias": calibration[1],
+            "weight": calibration[2],
+        },
     }))
     return 0
 
@@ -833,6 +853,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also write a self-contained explanation.html")
     sp.set_defaults(fn=cmd_xai)
 
+    def _weight_arg(v: str):
+        return v if v == "auto" else float(v)
+
     def fusion_flags(sp):
         sp.add_argument(
             "--map-adapt", choices=("means", "full"), default="means",
@@ -840,11 +863,20 @@ def build_parser() -> argparse.ArgumentParser:
             "'full' (the reference's means+vars+weights update — can "
             "destabilize the LLR; see train/gmm_system.py)",
         )
-        sp.add_argument("--fusion-weight", type=float, default=0.5,
-                        help="BiLSTM weight in the fusion (reference: 0.5)")
+        sp.add_argument(
+            "--fusion-weight", type=_weight_arg, default=0.5,
+            help="BiLSTM weight in the fusion: a float (reference: 0.5) or "
+            "'auto' to pick it on the train split (EER of the calibrated "
+            "blend, ties toward 0.5)",
+        )
         sp.add_argument(
             "--calibrate-llr", action="store_true",
             help="Platt-calibrate sigmoid(LLR) on the train split before fusing",
+        )
+        sp.add_argument(
+            "--gmm-deltas", action="store_true",
+            help="model CQCC+delta+delta-delta frames in the GMM arm (the "
+            "classic ASVspoof CQCC-GMM recipe; the BiLSTM arm is unchanged)",
         )
 
     sp = sub.add_parser("train-fused", help="GMM(+)BiLSTM flagship system")

@@ -46,14 +46,23 @@ def arm_scores(
     gmm_genuine: DiagGMM,
     gmm_spoof: DiagGMM,
     x: jnp.ndarray,
+    *,
+    gmm_feature_fn: Callable | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Both arms of the fusion for a batch: x (B, T, F) ->
-    (bilstm_prob (B,), llr_spoof (B,), empty (B,) bool)."""
+    (bilstm_prob (B,), llr_spoof (B,), empty (B,) bool).
+
+    ``gmm_feature_fn`` optionally transforms the GMM arm's frames (e.g.
+    ``train.gmm_system.add_sequence_deltas`` for the CQCC+Δ+ΔΔ GMM recipe);
+    the padding mask is computed from the RAW x (the reference's pad rule)
+    and the BiLSTM arm always sees the raw features.
+    """
     logits = bilstm_apply(variables, x, train=False)
     bilstm_prob = jax.nn.softmax(logits, axis=-1)[:, 1]
     mask = padding_mask(x)
+    gx = gmm_feature_fn(x) if gmm_feature_fn is not None else x
     # spoof-polarity LLR (see module docstring on the reference's inverted term)
-    llr_spoof = masked_llr(x, mask, gmm_spoof, gmm_genuine)
+    llr_spoof = masked_llr(gx, mask, gmm_spoof, gmm_genuine)
     empty = jnp.sum(mask, axis=-1) == 0
     return bilstm_prob, llr_spoof, empty
 
@@ -68,6 +77,7 @@ def fused_scores(
     weight: float = 0.5,
     llr_scale: float = 1.0,
     llr_bias: float = 0.0,
+    gmm_feature_fn: Callable | None = None,
 ) -> jnp.ndarray:
     """Fused spoof probabilities for a batch: x (B, T, F) -> (B,).
 
@@ -77,7 +87,8 @@ def fused_scores(
     ``sigmoid(LLR)`` (reference/ASV_dl_func.py:1459-1462).
     """
     bilstm_prob, llr_spoof, empty = arm_scores(
-        bilstm_apply, variables, gmm_genuine, gmm_spoof, x
+        bilstm_apply, variables, gmm_genuine, gmm_spoof, x,
+        gmm_feature_fn=gmm_feature_fn,
     )
     gmm_prob = jax.nn.sigmoid(llr_scale * llr_spoof + llr_bias)
     score = weight * bilstm_prob + (1.0 - weight) * gmm_prob
@@ -93,12 +104,14 @@ def make_fused_scorer(
     weight: float = 0.5,
     llr_scale: float = 1.0,
     llr_bias: float = 0.0,
+    gmm_feature_fn: Callable | None = None,
 ) -> Callable:
     """Jitted batch scorer ``(B, T, F) -> (B,)`` with everything closed over."""
     return jax.jit(
         partial(
             fused_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof,
             weight=weight, llr_scale=llr_scale, llr_bias=llr_bias,
+            gmm_feature_fn=gmm_feature_fn,
         )
     )
 
@@ -108,11 +121,16 @@ def make_arm_scorer(
     variables: dict,
     gmm_genuine: DiagGMM,
     gmm_spoof: DiagGMM,
+    *,
+    gmm_feature_fn: Callable | None = None,
 ) -> Callable:
     """Jitted ``(B, T, F) -> (bilstm_prob, llr, empty)`` batch scorer —
     per-arm diagnostics (GMM-alone EER, calibration fitting) in one pass."""
     return jax.jit(
-        partial(arm_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof)
+        partial(
+            arm_scores, bilstm_apply, variables, gmm_genuine, gmm_spoof,
+            gmm_feature_fn=gmm_feature_fn,
+        )
     )
 
 

@@ -7,9 +7,12 @@ host-side (not perf-critical; SURVEY.md §2.5): ``expand_feature_columns``
 (reference/ASV_dl_func.py:1589-1758) with its feature-set generator
 (:1561-1572) and pipeline factory (:1575-1587).
 
-xgboost is not installed in this environment; the "XGB" arm falls back to
-sklearn's HistGradientBoostingClassifier with equivalent roles for the
-swept hyperparameters (documented per-key mapping in ``_XGB_PARAM_MAP``).
+The "XGB" arm uses real xgboost when importable (with the reference's full
+6-key default grid, ``DEFAULT_XGB_PARAMS``); when xgboost is absent (as in
+this image) it falls back to sklearn's HistGradientBoostingClassifier with
+equivalent roles for the swept hyperparameters (documented per-key mapping
+in ``_XGB_PARAM_MAP``; subsample/colsample/gamma have no HGB equivalent
+and are dropped only in the fallback).
 """
 
 from __future__ import annotations
@@ -121,6 +124,18 @@ _XGB_PARAM_MAP = {
     # subsample / colsample / gamma have no HGB equivalent; dropped in fallback
 }
 
+# the reference's full 6-key default XGB grid
+# (reference/ASV_dl_func.py:1613-1619) — swept verbatim when real xgboost is
+# importable; the HGB fallback keeps the 3 keys _XGB_PARAM_MAP can express
+DEFAULT_XGB_PARAMS = {
+    "clf__n_estimators": [50, 100],
+    "clf__max_depth": [3, 5],
+    "clf__learning_rate": [0.1, 0.05],
+    "clf__subsample": [0.8, 1],
+    "clf__colsample_bytree": [0.8, 1],
+    "clf__gamma": [0, 1],
+}
+
 
 def make_search_pipeline(
     reducer: str | None, n_comp: int | None, standardize: bool, classifier,
@@ -175,11 +190,7 @@ def run_extensive_gridsearch(
     if svm_params is None:
         svm_params = {"clf__C": [1, 10], "clf__kernel": ["rbf"], "clf__gamma": ["scale", 0.1]}
     if xgb_params is None:
-        xgb_params = {
-            "clf__n_estimators": [50, 100],
-            "clf__max_depth": [3, 5],
-            "clf__learning_rate": [0.1, 0.05],
-        }
+        xgb_params = DEFAULT_XGB_PARAMS
     os.makedirs(out_dir, exist_ok=True)
     y_train = df_train[label_col].values
     y_test = df_test[label_col].values

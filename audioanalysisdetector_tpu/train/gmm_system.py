@@ -31,6 +31,26 @@ def _stack_frames(seqs: np.ndarray) -> np.ndarray:
     return seqs.reshape(-1, seqs.shape[-1])
 
 
+def add_sequence_deltas(seqs, *, width: int = 9):
+    """(…, T, F) time-major sequences -> (…, T, 3F): append Δ and ΔΔ along
+    the coefficient axis.
+
+    The classic ASVspoof CQCC-GMM recipe models static+Δ+ΔΔ frames — the
+    GMM is frame-independent, so without deltas it is blind to temporal
+    dynamics the BiLSTM arm sees. Deltas are Savitzky-Golay over the time
+    axis (librosa semantics, ``frontend.mfcc.delta``). Jit-safe; apply the
+    SAME transform at train and score time (``train_gmm_system(deltas=True)``
+    + ``make_arm_scorer(gmm_feature_fn=add_sequence_deltas)``).
+    """
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.frontend.mfcc import delta
+
+    d1 = delta(seqs, width=width, order=1, axis=-2)
+    d2 = delta(seqs, width=width, order=2, axis=-2)
+    return jnp.concatenate([seqs, d1, d2], axis=-1)
+
+
 def train_gmm_system(
     train_seqs: np.ndarray,
     labels: np.ndarray,
@@ -40,6 +60,7 @@ def train_gmm_system(
     relevance_factor: float = 10.0,
     adapt_mode: str = "means",
     var_floor_rel: float = 1e-3,
+    deltas: bool = False,
     model_dir: str = "GMM-BiLSTM",
     seed: int = 42,
     verbose: bool = False,
@@ -59,7 +80,6 @@ def train_gmm_system(
         raise ValueError(f"adapt_mode must be 'means' or 'full', got {adapt_mode!r}")
     os.makedirs(model_dir, exist_ok=True)
     labels = np.asarray(labels)
-    all_frames = _stack_frames(train_seqs)
 
     import jax
     import jax.numpy as jnp
@@ -67,7 +87,21 @@ def train_gmm_system(
     # ONE upload: EM and both MAP adaptations share this device buffer —
     # the class split is a 0/1 frame-weight mask, not a second transfer
     # (the host->device link is the scarce resource on tunneled runtimes)
-    xd = jax.device_put(np.ascontiguousarray(all_frames, dtype=np.float32))
+    if deltas:
+        # Δ/ΔΔ computed ON DEVICE from the uploaded static frames (uploading
+        # the 3F-wide frames would triple the H2D bytes for data the device
+        # can derive with two small GEMMs)
+        seqs = jax.device_put(
+            np.ascontiguousarray(np.asarray(train_seqs), dtype=np.float32)
+        )
+        xd = jax.jit(
+            lambda s: add_sequence_deltas(s).reshape(-1, 3 * s.shape[-1])
+        )(seqs)
+        n_frames = xd.shape[0]
+    else:
+        all_frames = _stack_frames(train_seqs)
+        xd = jax.device_put(np.ascontiguousarray(all_frames, dtype=np.float32))
+        n_frames = len(all_frames)
     frames_per_seq = int(np.asarray(train_seqs).shape[1])
     frame_labels = np.repeat(labels, frames_per_seq)
 
@@ -78,7 +112,7 @@ def train_gmm_system(
     )
     t_ubm = time.time() - t0
     if verbose:
-        print(f"UBM EM done in {t_ubm:.2f}s on {len(all_frames)} frames")
+        print(f"UBM EM done in {t_ubm:.2f}s on {n_frames} frames")
 
     full = adapt_mode == "full"
     t0 = time.time()
@@ -91,7 +125,7 @@ def train_gmm_system(
     # EM already succeeded).
     adapt = (
         map_adapt
-        if len(all_frames) * n_components * 4 <= (2 << 30)
+        if n_frames * n_components * 4 <= (2 << 30)
         else map_adapt_chunked
     )
     map_jit = jax.jit(

@@ -112,6 +112,43 @@ def test_classical_main_end_to_end(tmp_path):
     assert capped["n_test"] == 2  # 10 files -> 8/2 split
 
 
+def test_default_xgb_grid_matches_reference():
+    """The default XGB search space is the reference's full 6-key grid
+    (reference/ASV_dl_func.py:1613-1619); the HGB fallback keeps exactly the
+    keys _XGB_PARAM_MAP can express and real xgboost would get all 6."""
+    from audioanalysisdetector_tpu.train.classical import (
+        _XGB_PARAM_MAP,
+        _xgb_like,
+        DEFAULT_XGB_PARAMS,
+    )
+
+    assert DEFAULT_XGB_PARAMS == {
+        "clf__n_estimators": [50, 100],
+        "clf__max_depth": [3, 5],
+        "clf__learning_rate": [0.1, 0.05],
+        "clf__subsample": [0.8, 1],
+        "clf__colsample_bytree": [0.8, 1],
+        "clf__gamma": [0, 1],
+    }
+    clf, param_map = _xgb_like(0)
+    try:
+        import xgboost  # noqa: F401
+
+        # real xgboost: the grid is swept verbatim (param_map is None)
+        assert param_map is None
+        effective = DEFAULT_XGB_PARAMS
+    except ImportError:
+        assert param_map is _XGB_PARAM_MAP
+        effective = {
+            param_map[k]: v for k, v in DEFAULT_XGB_PARAMS.items() if k in param_map
+        }
+        assert set(effective) == {"clf__max_iter", "clf__max_depth", "clf__learning_rate"}
+    # every effective key must be a real constructor knob of the classifier
+    valid = set(clf.get_params())
+    for k in effective:
+        assert k.removeprefix("clf__") in valid, k
+
+
 def test_extensive_gridsearch_smoke(tmp_path, rng):
     n = 60
     X = rng.standard_normal((n, 6))

@@ -57,16 +57,29 @@ def test_corpus_layout_and_ingestion(tmp_path):
 def test_surrogate_quality_recipe_learns(tmp_path):
     """The frozen QUALITY recipe must keep beating chance by a wide margin —
     the round-over-round EER trend line (round-1 review Missing #2).
-    Recipe-v3 reference values (CPU, 480-chunk eval, two seeds probed):
-    bilstm EER 0.08-0.10, gmm 0.20, fused <= bilstm (docs/QUALITY.md)."""
+    Recipe-v4 reference values (CPU, 480-chunk eval, fusion_lab sweep):
+    bilstm EER 0.0583, gmm(64c, +Δ/ΔΔ) rank EER 0.229, fused (calibrated +
+    auto weight 0.75) EER 0.0542 — strictly below the BiLSTM arm with
+    accuracy/F1 ahead (docs/QUALITY.md)."""
     from audioanalysisdetector_tpu.train.quality import run_surrogate_quality
 
     metrics = run_surrogate_quality(str(tmp_path))
     assert metrics["n_train"] == 360 and metrics["n_eval"] == 480
     assert metrics["bilstm"]["eer"] <= 0.20, metrics["bilstm"]
     assert metrics["fused"]["eer"] <= 0.20, metrics["fused"]
-    # the round-2 regression, permanently guarded: fusion must not be
-    # meaningfully worse than its BiLSTM arm (one EER step of slack)
-    assert metrics["fused"]["eer"] <= metrics["bilstm"]["eer"] + 1 / 240 + 1e-9, metrics
+    # the round-2/3 regression, permanently guarded AND tightened (round-3
+    # verdict #3): the fused system's reason to exist is to beat its best
+    # arm — no slack step anymore
+    assert metrics["fused"]["eer"] <= metrics["bilstm"]["eer"] + 1e-9, metrics
+    assert metrics["fused"]["accuracy"] >= metrics["bilstm"]["accuracy"], metrics
+    # F1 guarded to within ~one utterance flip: the recipe's numbers are
+    # bit-stable per environment but the 8-virtual-device test env trains a
+    # fractionally different net than quality_eval's plain-CPU pin (thread
+    # count changes reduction order); on both, fused EER/accuracy win
+    # strictly and F1 is ahead on the artifact env (docs/QUALITY.md)
+    assert metrics["fused"]["f1"] >= metrics["bilstm"]["f1"] - 0.005, metrics
     assert metrics["gmm"]["eer"] <= 0.35, metrics["gmm"]
     assert metrics["fused"]["accuracy"] >= 0.8, metrics["fused"]
+    # the calibration machinery must actually be IN the recipe (round 3
+    # shipped it as identity scale/bias)
+    assert metrics["calibration"]["scale"] != 1.0 or metrics["calibration"]["bias"] != 0.0
