@@ -310,6 +310,14 @@ def cmd_xai(args) -> int:
             lambda v, f: grad_cam(model, v, f, output_size=feats.shape[-2:])
         )(variables, feats)
         heatmaps["grad_cam"] = np.asarray(cam[0]).T
+        # the notebook's overlay-on-mel-axes figure (cell 34)
+        from audioanalysisdetector_tpu.xai import plot_gradcam_overlay
+
+        overlay_path = plot_gradcam_overlay(
+            np.asarray(feats[0]), np.asarray(cam[0]), sr=args.sr,
+            hop_length=mel_cfg.hop_length, fmax=mel_cfg.fmax,
+            out_path=os.path.join(args.output_dir, "gradcam_overlay.png"),
+        )
     if "ig" in methods:
         ig = jax.jit(
             lambda v, f: integrated_gradients(model.apply, v, f, steps=args.ig_steps)
@@ -341,6 +349,8 @@ def cmd_xai(args) -> int:
         heatmaps, args.output_dir,
         prefix=os.path.splitext(os.path.basename(paths[0]))[0],
     )
+    if "gradcam" in methods:
+        out.append(overlay_path)
     if args.html:
         from audioanalysisdetector_tpu.xai import write_explanation_html
 

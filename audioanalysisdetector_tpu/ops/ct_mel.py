@@ -23,9 +23,14 @@ waveform once in and the (B, 63, n_mels) mel energies once out.
 OUTCOME (measured, batch 8192 x 2 s, v5e): the kernel core is the first
 of the three mel-fusion attempts to beat XLA — **39.2 ms vs 43.3 ms on
 pre-padded input** — but only by ~10%, far from the ~5x the traffic math
-promises, and the end-to-end ``ct_log_mel`` (which still pays the XLA-side
-reflect pad, a full-signal copy) measures 46.5 ms vs 43.5 ms. The gap is
-the Mosaic toolchain itself, quantified as:
+promises. End-to-end, ``ct_log_mel`` originally LOST (46.5 vs 43.5 ms)
+because XLA materialized the reflect-padded signal (a ~1 GB copy) before
+the kernel could stream it; round 4's boundary-frame split (kernel on the
+raw body, XLA GEMM path on the small reflect snippets — see ``ct_log_mel``)
+removed that copy and the e2e now measures **42.7-42.9 ms vs XLA's
+43.2 ms** (kernel body alone 39.5 ms; the remaining ~3 ms is the
+boundary stitch + ``power_to_db``). A ~1% e2e win. The distance from the
+traffic-math promise is the Mosaic toolchain itself, quantified as:
 
 - input streaming through the pallas grid pipeline runs at ~126 GB/s on
   this chip/toolchain (measured with a trivial slice kernel over the same
@@ -41,11 +46,13 @@ the Mosaic toolchain itself, quantified as:
 - the two unavoidable minor-axis transposes between stages cost ~4 ms
   each regardless of volume.
 
-The XLA mel path therefore stays the production default (bit-stable
-contract; the kernel's reassociated f32 accumulation differs by up to
-~0.06 dB after ``power_to_db(ref=max)``); this kernel is the maintained
-proof that beating XLA here requires a faster streaming pipeline, not a
-better factorization. Mosaic legality rules honored (probed): dot_general
+The XLA mel path stays the production default despite the ~1% e2e loss
+to this kernel: the win is within run-to-run noise of the tunnel-timed
+measurement and the XLA path is the bit-stable contract (the kernel's
+reassociated f32 accumulation differs by up to ~0.06 dB after
+``power_to_db(ref=max)``). The kernel is the maintained proof that at
+parity-scale shapes the Mosaic streaming pipeline, not the factorization,
+is the binding constraint. Mosaic legality rules honored (probed): dot_general
 only as 3D x 2D contracting the MINOR dim or batch-dim0 3D x 3D; reshapes
 only split/merge non-minor dims; no lane-splitting shape casts (the
 waveform is pre-chunked host-side to ``(B, n_pad/64, 64)`` and frames
@@ -132,42 +139,82 @@ def ct_mel(
     """
     B, n_pad_len = wav_padded.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
-    if B % UTT_TILE:
-        raise ValueError(f"batch {B} must be a multiple of {UTT_TILE}")
-    if hop % N1 or n_fft % hop:
-        raise ValueError(f"need hop % {N1} == 0 and n_fft % hop == 0")
     if n_pad_len % N1:
         extra = N1 - n_pad_len % N1
         wav_padded = jnp.pad(wav_padded, ((0, 0), (0, extra)))
         n_pad_len += extra
+    wav3 = wav_padded.reshape(B, n_pad_len // N1, N1)  # host/XLA-side chunking
+    return _ct_mel_parts([wav3], cfg, n_frames=n_frames, interpret=interpret)
+
+
+def _ct_mel_parts(
+    parts: list[jnp.ndarray],
+    cfg: MelConfig,
+    *,
+    n_frames: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Core kernel over a padded signal supplied as chunked (B, nc_i, 64)
+    SEGMENTS, concatenated along the chunk axis INSIDE the grid.
+
+    The segmented form exists so ``ct_log_mel`` can pass [head, body, tail]
+    where body is a zero-copy reshape VIEW of the raw waveform and head/tail
+    are the small reflect regions (16 chunks each at n_fft=2048): the
+    earlier single-tensor form forced XLA to materialize the whole padded
+    signal (a ~1 GB copy at the benchmark batch) before the kernel could
+    stream it — measured as the entire e2e deficit vs the XLA path.
+    """
+    B = parts[0].shape[0]
+    n_fft, hop = cfg.n_fft, cfg.hop_length
+    if B % UTT_TILE:
+        raise ValueError(f"batch {B} must be a multiple of {UTT_TILE}")
+    if hop % N1 or n_fft % hop:
+        raise ValueError(f"need hop % {N1} == 0 and n_fft % hop == 0")
+    n_chunks_each = [int(p.shape[1]) for p in parts]
+    n_pad_len = N1 * sum(n_chunks_each)
     # coverage is checked against the ROUNDED-UP length (the docstring's
     # contract) — checking before the pad rejected inputs whose tail frame
     # fits only after the 64-multiple zeros
     if (n_frames - 1) * hop + n_fft > n_pad_len:
         raise ValueError("padded signal too short for n_frames")
-    n_chunks = n_pad_len // N1
-    wav3 = wav_padded.reshape(B, n_chunks, N1)  # host/XLA-side chunking
     ops = [jnp.asarray(o) for o in _ct_operands(cfg)]
     n_mels = ops[-1].shape[-1]
     rows = UTT_TILE * n_frames
     hop_c = hop // N1
     qc = n_fft // hop  # chunk groups per frame
+    n_parts = len(parts)
 
-    def kernel(wav_ref, csA_ref, wc_ref, tr_ref, ti_ref, w_ref, m6_ref, out_ref):
-        w3 = wav_ref[:]
+    # cumulative chunk offsets of each segment along the virtual concat axis
+    _offs = np.cumsum([0] + n_chunks_each)
+    bounds = list(zip(_offs[:-1].tolist(), _offs[1:].tolist()))
+
+    def kernel(*refs):
+        part_refs = refs[:n_parts]
+        csA_ref, wc_ref, tr_ref, ti_ref, w_ref, m6_ref, out_ref = refs[n_parts:]
         # loop-free framing: frame f's 32 chunks are global chunks
         # 8f .. 8f+31 = q-th shifted stride-8 view, q = 0..3; plus the
-        # stage-A K-pad as a zeros part folded into the same concat
-        parts = []
+        # stage-A K-pad as a zeros part folded into the same concat.
+        # Each q-slice is assembled from the SEGMENT refs directly (static
+        # sub-slices of the virtual [head|body|tail] concat) — materializing
+        # the concatenated signal first costs an extra full-tile VMEM copy
+        # per grid step, measured at ~4 ms over the batch.
+        fparts = []
         for q in range(qc):
-            p = w3[:, hop_c * q : hop_c * q + n_frames * hop_c, :]
+            s = hop_c * q
+            e = s + n_frames * hop_c
+            segs = [
+                r[:, max(s, lo) - lo : min(e, hi) - lo, :]
+                for r, (lo, hi) in zip(part_refs, bounds)
+                if max(s, lo) < min(e, hi)
+            ]
+            p = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
             p = p.reshape(UTT_TILE, n_frames, hop_c, N1).reshape(rows, hop_c, N1)
-            parts.append(p)
-        parts.append(jnp.zeros((rows, KPAD - N2, N1), jnp.float32))
+            fparts.append(p)
+        fparts.append(jnp.zeros((rows, KPAD - N2, N1), jnp.float32))
         wpad = jnp.concatenate(
             [w_ref[:], jnp.zeros((KPAD - N2, N1), jnp.float32)], axis=0
         )
-        f3p = jnp.concatenate(parts, axis=1) * wpad  # (rows, 128_n2pad, 64_n1)
+        f3p = jnp.concatenate(fparts, axis=1) * wpad  # (rows, 128_n2pad, 64_n1)
         f3t = jnp.swapaxes(f3p, 1, 2)  # (rows, 64_n1, 128)
         dgm = lambda a, e: jax.lax.dot_general(
             a, e, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -197,9 +244,10 @@ def ct_mel(
         grid=(B // UTT_TILE,),
         in_specs=[
             pl.BlockSpec(
-                (UTT_TILE, n_chunks, N1), lambda b: (b, 0, 0),
+                (UTT_TILE, nc, N1), lambda b: (b, 0, 0),
                 memory_space=pltpu.VMEM,
-            ),
+            )
+            for nc in n_chunks_each
         ]
         + [
             pl.BlockSpec(
@@ -218,7 +266,7 @@ def ct_mel(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(wav3, *ops)
+    )(*parts, *ops)
     return out
 
 
@@ -230,10 +278,86 @@ def ct_log_mel(
     top_db: float | None = 80.0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in (B, n) -> (B, n_mels, T) log-mel via the CT-fused kernel."""
-    n_frames = 1 + wav.shape[-1] // cfg.hop_length
-    pad = cfg.n_fft // 2
-    wav_p = jnp.pad(wav, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
-    mel = ct_mel(wav_p, cfg, n_frames=n_frames, interpret=interpret)
+    """Drop-in (B, n) -> (B, n_mels, T) log-mel via the CT-fused kernel.
+
+    Padding strategy (round-4 measurements, batch 8192 x 2 s, v5e):
+
+    - Materializing the reflect-padded signal in XLA before the kernel
+      costs a full-signal copy (~1 GB here) — the entire e2e deficit of
+      earlier rounds (46.5 ms vs XLA 43.8).
+    - Streaming [head | body | tail] reflect segments and concatenating
+      inside the grid (``_ct_mel_parts``) removes the copy but the 3-stream
+      grid pipeline gives back ~4 ms (42.9 ms kernel-only vs 39.2 single
+      stream) — a tie with XLA.
+    - The shipped fast path exploits that only the first/last
+      ``ceil(pad/hop)`` frames touch the padding at all: the kernel runs on
+      the RAW waveform body (single stream, zero-copy reshape view) for the
+      interior frames, and the few boundary frames come from the XLA GEMM
+      path on ~2.5k-sample reflect snippets, stitched along the frame axis.
+      Measured e2e: 42.7-42.9 ms vs the XLA path's 43.2 ms (same-session
+      pairs; kernel body alone 39.5 ms, boundary stitch + dB ~3 ms).
+
+    Falls back to the XLA-side full pad for shapes/modes the fast path
+    cannot express (pad not aligned to the chunk/hop grid, non-reflect).
+    """
+    from audioanalysisdetector_tpu.frontend.stft import power_spectrogram
+
+    b_extra = -wav.shape[0] % UTT_TILE  # kernel grid needs full 8-utt tiles
+    if b_extra:
+        out = ct_log_mel(
+            jnp.pad(wav, ((0, b_extra), (0, 0))), cfg,
+            ref=ref, top_db=top_db, interpret=interpret,
+        )
+        return out[: wav.shape[0]]  # per-utterance dB: pad rows are inert
+
+    n = wav.shape[-1]
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    n_frames = 1 + n // hop
+    pad = n_fft // 2
+    fast = (
+        cfg.center
+        and cfg.pad_mode == "reflect"
+        and n % N1 == 0
+        and n > pad
+        and hop % N1 == 0
+        and n_fft % hop == 0
+    )
+    if fast:
+        f_lo = -(-pad // hop)  # first frame whose window needs no left pad
+        f_hi = (n + pad - n_fft) // hop  # last frame fully inside the body
+        off = f_lo * hop - pad
+        fast = f_hi >= f_lo and off >= 0 and off % N1 == 0
+    if fast:
+        B = wav.shape[0]
+        body = wav.reshape(B, n // N1, N1)
+        if off:
+            body = body[:, off // N1 :, :]
+        mel_int = _ct_mel_parts(
+            [body], cfg, n_frames=f_hi - f_lo + 1, interpret=interpret
+        )  # (B, nf_int, n_mels)
+
+        # boundary frames (f_lo at the left, n_frames-1-f_hi at the right)
+        # via the XLA GEMM path on small manually-reflect-padded snippets
+        head = wav[:, 1 : pad + 1][:, ::-1]
+        left = jnp.concatenate(
+            [head, wav[:, : (f_lo - 1) * hop + n_fft - pad]], axis=-1
+        )
+        need_tail = (n_frames - 1) * hop + n_fft - pad - n  # in [1, pad]
+        tail = wav[:, n - 1 - pad : n - 1][:, ::-1][:, :need_tail]
+        right = jnp.concatenate([wav[:, (f_hi + 1) * hop - pad :], tail], axis=-1)
+        fb = jnp.asarray(cfg.filterbank(), wav.dtype)
+
+        def bmel(snippet):
+            S = power_spectrogram(
+                snippet, n_fft=n_fft, hop_length=hop, win_length=cfg.win_length,
+                window=cfg.window, center=False, power=cfg.power,
+                method=cfg.method,
+            )
+            return jnp.einsum("mf,bft->btm", fb, S)
+
+        mel = jnp.concatenate([bmel(left), mel_int, bmel(right)], axis=1)
+    else:
+        wav_p = jnp.pad(wav, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+        mel = ct_mel(wav_p, cfg, n_frames=n_frames, interpret=interpret)
     mel = jnp.swapaxes(mel, -1, -2)
     return power_to_db(mel, ref=ref, top_db=top_db, utt_axes=2)

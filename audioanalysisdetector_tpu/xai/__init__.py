@@ -24,6 +24,8 @@ from audioanalysisdetector_tpu.xai.lime import (
 from audioanalysisdetector_tpu.xai.report import write_explanation_html
 from audioanalysisdetector_tpu.xai.shap_gmm import gmm_shap, time_windows
 from audioanalysisdetector_tpu.xai.visualize import (
+    plot_cqcc_pipeline,
+    plot_gradcam_overlay,
     visualize_feature_perturbation,
     visualize_segment_perturbation,
 )
@@ -42,6 +44,8 @@ __all__ = [
     "occlusion",
     "perturb_random_features_mean",
     "perturb_segments",
+    "plot_cqcc_pipeline",
+    "plot_gradcam_overlay",
     "plot_heatmaps",
     "saliency",
     "signal_segmentation",

@@ -8,6 +8,9 @@ attribution family the reference has on one instance:
 - GMM windowed kernel-SHAP (reference/tets_xai.py:28-67)
 - the cross-model comparison dict + top salient time intervals
   (reference/tets_xai.py:94-186)
+- the per-coefficient perturbation panel (reference/xai_func.py:465-525)
+  and the Grad-CAM-on-mel-axes overlay (ASV_deep_learning.ipynb cell 34),
+  rendered into ``<run dir>/xai/``
 """
 
 import os
@@ -91,6 +94,42 @@ def main() -> None:
         cmp["heatmaps"]["bilstm_occlusion"], sr=SR, threshold=1e-4
     )
     print("top salient intervals (s):", [(round(a, 2), round(b, 2)) for a, b, *_ in intervals][:3])
+
+    # 5. Figures: the reference's per-coefficient perturbation panel
+    # (xai_func.py:465-525) on a LIME-style feature perturbation, and the
+    # notebook's Grad-CAM overlay on the mel spectrogram's own axes.
+    from audioanalysisdetector_tpu.frontend.mel import MelConfig, log_mel_spectrogram
+    from audioanalysisdetector_tpu.io import load_audio
+    from audioanalysisdetector_tpu.models.resnet import AntiSpoofingResNet
+    from audioanalysisdetector_tpu.xai import (
+        grad_cam,
+        perturb_random_features_mean,
+        plot_cqcc_pipeline,
+        plot_gradcam_overlay,
+    )
+
+    fig_dir = os.path.join(root, "xai")
+    feat_ft = instance.T  # (F=19, T=63), coeffs-first for the panel
+    pert, mask = perturb_random_features_mean(
+        jnp.asarray(feat_ft), jax.random.PRNGKey(0), n_changed=4
+    )
+    panel = plot_cqcc_pipeline(
+        feat_ft, np.asarray(pert), {"mode": "feature", "mask": np.asarray(mask)},
+        out_path=os.path.join(fig_dir, "cqcc_pipeline.png"),
+    )
+
+    wav, _ = load_audio(df["file_path"].iloc[int(np.argmax(y))], sr=SR)
+    mel_cfg = MelConfig(sr=SR, n_mels=64)
+    mel = jax.jit(lambda w: log_mel_spectrogram(w, mel_cfg))(jnp.asarray(wav)[None])
+    resnet = AntiSpoofingResNet()
+    r_vars = resnet.init(jax.random.PRNGKey(0), mel, train=False)
+    cam = jax.jit(lambda v, f: grad_cam(resnet, v, f))(r_vars, mel)
+    overlay = plot_gradcam_overlay(
+        np.asarray(mel[0]), np.asarray(cam[0]), sr=SR,
+        hop_length=mel_cfg.hop_length, fmax=mel_cfg.fmax,
+        out_path=os.path.join(fig_dir, "gradcam_overlay.png"),
+    )
+    print("figures:", panel, overlay)
 
 
 if __name__ == "__main__":

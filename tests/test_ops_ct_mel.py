@@ -42,5 +42,46 @@ def test_ct_log_mel_silence_finite(rng):
 
 def test_ct_mel_rejects_bad_shapes():
     cfg = MelConfig(sr=16000, n_mels=64)
+    from audioanalysisdetector_tpu.ops.ct_mel import ct_mel
+
     with pytest.raises(ValueError, match="multiple"):
-        ct_log_mel(jnp.zeros((UTT_TILE + 1, 32000)), cfg, interpret=True)
+        ct_mel(jnp.zeros((UTT_TILE + 1, 34048)), cfg, n_frames=63, interpret=True)
+
+
+def test_ct_log_mel_pads_partial_batch_tile(rng):
+    """ct_log_mel is a drop-in: batches not a multiple of the 8-utt kernel
+    tile are zero-padded to the tile and sliced back, bit-equal per row
+    (per-utterance dB makes pad rows inert)."""
+    cfg = MelConfig(sr=16000, n_mels=64)
+    wav = jnp.asarray(rng.standard_normal((UTT_TILE, 32000)).astype(np.float32) * 0.1)
+    full = np.asarray(ct_log_mel(wav, cfg, interpret=True))
+    for b in (1, 3):
+        part = np.asarray(ct_log_mel(wav[:b], cfg, interpret=True))
+        assert part.shape == (b,) + full.shape[1:]
+        np.testing.assert_array_equal(part, full[:b])
+
+
+def test_ct_log_mel_in_grid_pad_equals_fallback_pad(rng):
+    """The segmented in-grid reflect pad (n % 64 == 0 fast path) and the
+    XLA-side full pad (fallback) must produce identical log-mels; a
+    non-64-multiple length exercises the fallback against the XLA path."""
+    cfg = MelConfig(sr=16000, n_mels=64)
+    wav = jnp.asarray(rng.standard_normal((UTT_TILE, 32000)).astype(np.float32) * 0.1)
+    fast = np.asarray(ct_log_mel(wav, cfg, interpret=True))  # segmented path
+    from audioanalysisdetector_tpu.ops.ct_mel import ct_mel
+    from audioanalysisdetector_tpu.frontend.db import power_to_db
+
+    pad = cfg.n_fft // 2
+    wav_p = jnp.pad(wav, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+    slow = ct_mel(wav_p, cfg, n_frames=63, interpret=True)
+    slow = np.asarray(power_to_db(jnp.swapaxes(slow, -1, -2), ref="max", utt_axes=2))
+    assert np.abs(fast - slow).max() < 1e-5
+
+    # fallback path (length not a 64-multiple) still matches XLA
+    wav_odd = jnp.asarray(
+        rng.standard_normal((UTT_TILE, 32032)).astype(np.float32) * 0.1
+    )
+    ref = np.asarray(log_mel_spectrogram(wav_odd, cfg))
+    out = np.asarray(ct_log_mel(wav_odd, cfg, interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-4

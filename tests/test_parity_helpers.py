@@ -18,6 +18,8 @@ from audioanalysisdetector_tpu.io.audio import write_wav
 from audioanalysisdetector_tpu.xai import (
     perturb_random_features_mean,
     perturb_segments,
+    plot_cqcc_pipeline,
+    plot_gradcam_overlay,
     visualize_feature_perturbation,
     visualize_segment_perturbation,
 )
@@ -76,6 +78,38 @@ def test_perturbation_visualizers(tmp_path, rng):
         out_path=str(tmp_path / "seg.png"),
     )
     assert os.path.exists(path2)
+
+
+def test_plot_cqcc_pipeline_modes(tmp_path, rng):
+    """reference/xai_func.py:465-525 parity panel: both perturbation modes
+    render, scales- and mask-shaped info dicts both dispatch, and bad modes
+    are rejected."""
+    import pytest
+
+    x = rng.standard_normal((19, 63)).astype(np.float32)
+    p_time = plot_cqcc_pipeline(
+        x, x * 1.1, {"mode": "time", "scales": [1.0, 1.5, 0.5, 1.0]},
+        out_path=str(tmp_path / "time.png"),
+    )
+    assert os.path.exists(p_time)
+    p_feat = plot_cqcc_pipeline(
+        x, x + 1.0, {"mode": "feature", "mask": np.array([0, 1] * 9 + [0])},
+        out_path=str(tmp_path / "feat.png"),
+    )
+    assert os.path.exists(p_feat)
+    with pytest.raises(ValueError, match="mode"):
+        plot_cqcc_pipeline(x, x, {"mode": "spectral"})
+
+
+def test_plot_gradcam_overlay_resizes(tmp_path, rng):
+    """ASV_deep_learning.ipynb cell-34 overlay: a coarse CAM grid is
+    bilinearly upsampled onto the feature's own (F, T) axes."""
+    feat = rng.standard_normal((64, 63)).astype(np.float32)
+    cam = rng.random((4, 8)).astype(np.float32)
+    path = plot_gradcam_overlay(
+        feat, cam, sr=16000, hop_length=512, out_path=str(tmp_path / "cam.png")
+    )
+    assert os.path.exists(path)
 
 
 def test_txt_log_and_load_bilstm_model(tmp_path, rng):
