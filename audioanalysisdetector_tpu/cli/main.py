@@ -727,6 +727,7 @@ def cmd_serve(args) -> int:
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         bucket_sizes=buckets,
+        adaptive=not args.no_adaptive,
     )
     # compile every bucket before accepting traffic so no request is a
     # 30 s+ cold-compile hostage (the ladder is the full set of shapes)
@@ -736,10 +737,11 @@ def cmd_serve(args) -> int:
         json.dumps(
             {
                 "listening": f"http://{args.host}:{server.port}",
-                "endpoints": ["/v1/score", "/v1/stats", "/healthz"],
+                "endpoints": ["/v1/score", "/v1/score_raw", "/v1/stats", "/healthz"],
                 "max_batch": args.max_batch,
                 "buckets": list(batcher.bucket_sizes),
                 "n_samples": n_samples,
+                "adaptive": batcher.adaptive,
                 "data_parallel_devices": getattr(scorer, "row_multiple", 1),
             }
         ),
@@ -967,8 +969,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument(
         "--max-wait-ms", type=float, default=5.0,
-        help="micro-batching window: lone requests ship after this; bursts "
-        "ship when the row budget fills",
+        help="micro-batching window CAP: bursts ship when the row budget "
+        "fills; otherwise the adaptive policy ships as soon as the arrival-"
+        "rate estimate says the next bucket boundary is out of reach "
+        "(--no-adaptive waits the full window instead)",
+    )
+    sp.add_argument(
+        "--no-adaptive", action="store_true",
+        help="disable the EWMA arrival-rate window (always wait max-wait-ms "
+        "for a partial batch)",
     )
     sp.add_argument("--checkpoint", default=None)
     sp.add_argument(

@@ -23,9 +23,13 @@ TPU-first design decisions:
   streaming scorer (score/streaming.py).
 - **Micro-batching window** (``max_wait_ms``) trades tail latency for MXU
   occupancy: a lone request ships when the window closes; a burst fills
-  the row budget and ships early. Backpressure is a bounded queue —
-  when it is full the service answers 503 instead of queueing unbounded
-  work in front of a saturated chip.
+  the row budget and ships early. In adaptive mode (default) the window is
+  a CAP, not a timer: an EWMA of the arrival rate decides whether waiting
+  can still reach the next dispatch-bucket boundary — if not, the batch
+  ships immediately (the pad-up cost is sunk; extra waiting is pure added
+  latency at low rates, while bursts still fill buckets). Backpressure is
+  a bounded queue — when it is full the service answers 503 instead of
+  queueing unbounded work in front of a saturated chip.
 """
 
 from __future__ import annotations
@@ -72,6 +76,7 @@ class ServeStats:
     dispatched_rows: int = 0  # bucket rows dispatched (incl. padding)
     rejected: int = 0
     errors: int = 0
+    early_ships: int = 0  # adaptive window closed before max_wait
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def snapshot(self) -> dict:
@@ -86,6 +91,7 @@ class ServeStats:
                 "mean_batch_fill": round(fill, 4),
                 "rejected": self.rejected,
                 "errors": self.errors,
+                "early_ships": self.early_ships,
             }
 
 
@@ -98,7 +104,7 @@ class _Pending:
     nobody will read, precisely when the chip is saturated.
     """
 
-    __slots__ = ("wav", "done", "result", "error", "cancelled")
+    __slots__ = ("wav", "done", "result", "error", "cancelled", "t_arrival")
 
     def __init__(self, wav: np.ndarray):
         self.wav = wav
@@ -106,6 +112,7 @@ class _Pending:
         self.result: np.ndarray | None = None
         self.error: BaseException | None = None
         self.cancelled = False
+        self.t_arrival = time.monotonic()  # feeds the adaptive-window EWMA
 
 
 class BatchingScorer:
@@ -126,6 +133,7 @@ class BatchingScorer:
         max_wait_ms: float = 5.0,
         queue_depth: int = 64,
         bucket_sizes: tuple[int, ...] | None = None,
+        adaptive: bool = True,
     ):
         import queue as _queue
 
@@ -133,6 +141,15 @@ class BatchingScorer:
         self.n_samples = int(n_samples)
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        # adaptive window: ``max_wait_ms`` stays the CAP, but the worker
+        # ships as soon as the EWMA arrival-rate estimate says the next
+        # dispatch-bucket boundary is unreachable within the remaining
+        # window — waiting past that point buys no padding reduction, only
+        # latency (measured effect in benchmarks/bench_serve.py)
+        self.adaptive = bool(adaptive)
+        self._ewma_gap: float | None = None  # s between request arrivals
+        self._ewma_rows: float | None = None  # rows per arrival
+        self._last_arrival: float | None = None
         # a data-parallel scorer shards dispatch rows over local devices
         # and needs every bucket divisible by the device count
         multiple = int(getattr(scorer, "row_multiple", 1) or 1)
@@ -257,19 +274,54 @@ class BatchingScorer:
 
     # ---- device worker ---------------------------------------------------
 
+    def _note_arrival(self, p: "_Pending") -> None:
+        """Update the EWMA inter-arrival gap / rows-per-arrival estimators
+        from an item's enqueue timestamp (called once per queue pop)."""
+        if self._last_arrival is not None:
+            gap = p.t_arrival - self._last_arrival
+            # clamp idle stretches so one quiet period doesn't poison the
+            # estimator for the next burst
+            gap = max(0.0, min(gap, 10.0 * self.max_wait_s))
+            self._ewma_gap = (
+                gap if self._ewma_gap is None else 0.8 * self._ewma_gap + 0.2 * gap
+            )
+        self._last_arrival = max(self._last_arrival or 0.0, p.t_arrival)
+        r = float(len(p.wav))
+        self._ewma_rows = (
+            r if self._ewma_rows is None else 0.8 * self._ewma_rows + 0.2 * r
+        )
+
+    def _adaptive_wait(self, rows: int, remaining: float) -> float:
+        """Seconds worth waiting for more rows, given ``rows`` collected and
+        ``remaining`` window: the ETA to the next bucket boundary while the
+        arrival-rate estimate says it is reachable within the window, else
+        0 (pad-up cost is already sunk — waiting longer only adds
+        latency). Waiting the ETA rather than the full remainder bounds the
+        loss when the prediction misses."""
+        gap, rpp = self._ewma_gap, self._ewma_rows
+        if gap is None or rpp is None:
+            return remaining  # no estimate yet: behave like the fixed window
+        next_boundary = next(b for b in self.bucket_sizes if b > rows)
+        arrivals_needed = -(-(next_boundary - rows) // max(int(rpp), 1))
+        eta = arrivals_needed * gap
+        return min(eta, remaining) if eta <= remaining else 0.0
+
     def _collect(self) -> list[_Pending] | None:
         """Block for the first item, then gather rows until the window
-        closes or the row budget fills. Returns None on shutdown wake."""
+        closes, the row budget fills, or (adaptive mode) the arrival-rate
+        estimate says the next bucket boundary is out of reach. Returns
+        None on shutdown wake."""
         import queue as _queue
 
         first = None
         if self._carry is not None and not self._carry.cancelled:
-            first = self._carry
+            first = self._carry  # arrival already noted at its queue pop
         self._carry = None
         while first is None:
             first = self._q.get()
             if first is None:
                 return None
+            self._note_arrival(first)
             if first.cancelled:  # rejected mid-enqueue: discard silently
                 first = None
         batch = [first]
@@ -279,13 +331,32 @@ class BatchingScorer:
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 break
-            try:
-                item = self._q.get(timeout=remaining)
-            except _queue.Empty:
-                break
+            item: _Pending | None
+            if self.adaptive:
+                try:  # drain whatever already queued without blocking
+                    item = self._q.get_nowait()
+                except _queue.Empty:
+                    wait = self._adaptive_wait(rows, remaining)
+                    if wait <= 0.0:
+                        with self.stats._lock:
+                            self.stats.early_ships += 1
+                        break
+                    try:
+                        item = self._q.get(timeout=wait)
+                    except _queue.Empty:
+                        if wait < remaining:  # gave up before the cap
+                            with self.stats._lock:
+                                self.stats.early_ships += 1
+                        break
+            else:
+                try:
+                    item = self._q.get(timeout=remaining)
+                except _queue.Empty:
+                    break
             if item is None:  # shutdown sentinel: ship what we have
                 self._stop.set()
                 break
+            self._note_arrival(item)
             if item.cancelled:
                 continue
             if rows + len(item.wav) > self.max_batch:
@@ -393,6 +464,12 @@ class ScoreServer:
       resampled host-side). Response ``{"scores": [...], "labels": [...]}``
       with the reference's 0.5 decision threshold
       (reference/ASV_dl_func.py:1491).
+    - ``POST /v1/score_raw`` — body is raw little-endian float32 rows
+      (``Content-Type: application/octet-stream``, row count in an
+      ``X-Rows`` header, default 1). Skips base64 (4/3 payload inflation)
+      and JSON body parsing entirely — the fastest lane on the host, which
+      the serving decomposition (benchmarks/bench_serve.py) shows is the
+      local-chip throughput ceiling. Same JSON response as ``/v1/score``.
     - ``GET /healthz`` — liveness + the service's fixed-shape contract.
     - ``GET /v1/stats`` — batching counters (see :class:`ServeStats`).
     """
@@ -436,7 +513,7 @@ class ScoreServer:
                     self._reply(404, {"error": f"no route {self.path}"})
 
             def do_POST(self):
-                if self.path != "/v1/score":
+                if self.path not in ("/v1/score", "/v1/score_raw"):
                     self._reply(404, {"error": f"no route {self.path}"})
                     return
                 try:
@@ -448,8 +525,13 @@ class ScoreServer:
                         self.close_connection = True
                         self._reply(413, {"error": "body too large"})
                         return
-                    req = json.loads(self.rfile.read(length))
-                    rows = outer._rows_from_request(req)
+                    body = self.rfile.read(length)
+                    if self.path == "/v1/score_raw":
+                        rows = outer._rows_from_raw(
+                            body, self.headers.get("X-Rows", "1")
+                        )
+                    else:
+                        rows = outer._rows_from_request(json.loads(body))
                     scores = outer.batcher.score(
                         rows, timeout=outer.request_timeout
                     )
@@ -499,6 +581,24 @@ class ScoreServer:
             y = _decode_b64_audio(req["audio_b64"], req.get("format", "wav"), self.sr)
             return _fit_rows(y, self.batcher.n_samples)
         raise KeyError("request needs 'pcm', 'pcm_b64', or 'audio_b64'")
+
+    def _rows_from_raw(self, body: bytes, rows_header: str) -> np.ndarray:
+        """/v1/score_raw assembly: raw ``<f4`` rows, count from ``X-Rows``.
+
+        np.frombuffer is zero-copy over the request body; _fit_rows then
+        pads/crops to the service chunk length like every other lane."""
+        try:
+            rows = int(rows_header)
+        except ValueError:
+            raise ValueError(f"X-Rows must be an integer, got {rows_header!r}")
+        if len(body) % 4 != 0:
+            raise ValueError(f"body length {len(body)} not a float32 multiple")
+        raw = np.frombuffer(body, dtype="<f4")
+        if rows < 1 or len(raw) % rows != 0:
+            raise ValueError(
+                f"body of {len(raw)} floats not divisible into {rows} rows"
+            )
+        return _fit_rows(raw.reshape(rows, -1), self.batcher.n_samples)
 
     def _health(self) -> dict:
         import jax

@@ -9,12 +9,25 @@ absolute number is tunnel-bound (~20-40 MB/s host->device, ~69 ms scalar
 fetch — see benchmarks/README.md), so the overhead ratio is the signal,
 not the utt/s.
 
-Two served lanes isolate the dispatch-size ladder: ``served_fixed`` pads
+Three served lanes isolate the dispatch policies: ``served_fixed`` pads
 every partial batch to max_batch (one compiled shape), ``served_bucketed``
 pads up to the smallest bucket that holds the rows (ladder of compiled
-shapes). On a padding-heavy arrival pattern the ladder saves the dead-row
-upload + compute, which on this tunnel (~32 MB per full dispatch) is the
-dominant cost.
+shapes), ``served_adaptive`` adds the EWMA arrival-rate window (ship as
+soon as the next bucket boundary is unreachable). On a padding-heavy
+arrival pattern the ladder saves the dead-row upload + compute, which on
+this tunnel (~32 MB per full dispatch) is the dominant cost. The tunnel's
+RPC latency drifts on a minutes timescale (observed 2.3x between
+back-to-back runs), so each lane's ``overhead_pct`` is computed against a
+direct-scorer probe taken immediately before that lane
+(``direct_ref_utt_per_s``), not the session-level ``direct_utt_per_s``.
+
+A ``decomposition`` block separates tunnel RPC from true host work: the
+full serving stack in front of a no-op scorer (host ceiling, over both the
+b64-JSON lane and the raw octet-stream ``/v1/score_raw`` lane), one
+isolated full-batch device round trip (tunnel dispatch), the chip's
+compute-only cost for the same batch (from bench.py's fetch-forced
+headline rate; override via AAD_CHIP_UTT_S), and the local-chip throughput
+projection (slowest-pipeline-stage bound).
 
 Run: python benchmarks/bench_serve.py [n_clients rows_per_req n_requests]
 """
@@ -57,38 +70,63 @@ def main() -> None:
 
     # ---- direct lane: same rows, same scorer, no HTTP/batching ----
     total_rows = n_requests * rows_per_req
-    t0 = time.perf_counter()
-    done = 0
-    while done < total_rows:
-        batch = np.zeros((max_batch, n_samples), np.float32)
-        k = min(max_batch, total_rows - done)
-        batch[:k] = np.repeat(rows, (k + rows_per_req - 1) // rows_per_req, axis=0)[:k]
-        float(np.asarray(scorer(batch)).sum())  # fetch-forced
-        done += k
-    direct_s = time.perf_counter() - t0
-    direct_utt_s = total_rows / direct_s
+
+    def direct_rate(nrows: int) -> float:
+        """Fetch-forced direct-scorer throughput (utt/s) over ``nrows``.
+
+        The tunnel's RPC latency drifts on a minutes timescale (observed
+        2.3x between two back-to-back full runs), so each served lane is
+        compared against a probe taken IMMEDIATELY before it, not one
+        session-level direct number — otherwise tunnel drift masquerades
+        as dispatch-policy overhead."""
+        t0 = time.perf_counter()
+        done = 0
+        while done < nrows:
+            batch = np.zeros((max_batch, n_samples), np.float32)
+            k = min(max_batch, nrows - done)
+            batch[:k] = np.repeat(
+                rows, (k + rows_per_req - 1) // rows_per_req, axis=0
+            )[:k]
+            float(np.asarray(scorer(batch)).sum())  # fetch-forced
+            done += k
+        return nrows / (time.perf_counter() - t0)
+
+    direct_utt_s = direct_rate(total_rows)
 
     # ---- served lanes: concurrent HTTP clients, binary payload ----
     payload_rows = rows
 
-    def run_served(bucket_sizes):
+    def run_served(bucket_sizes, *, adaptive=False, lane_scorer=None, raw=False):
+        # contemporaneous baseline: probe the direct scorer right before the
+        # lane so overhead_pct reflects the dispatch policy, not tunnel drift
+        probe_utt_s = direct_rate(2 * max_batch) if lane_scorer is None else None
         batcher = BatchingScorer(
-            scorer,
+            lane_scorer or scorer,
             n_samples=n_samples,
             max_batch=max_batch,
             max_wait_ms=5.0,
             bucket_sizes=bucket_sizes,
+            adaptive=adaptive,
         )
         batcher.warm_up()
         server = ScoreServer(batcher, sr=16000, port=0)
         server.start_background()
-        url = f"http://127.0.0.1:{server.port}/v1/score"
-        payload = json.dumps(
-            {
-                "pcm_b64": base64.b64encode(payload_rows.tobytes()).decode(),
-                "rows": rows_per_req,
+        if raw:
+            url = f"http://127.0.0.1:{server.port}/v1/score_raw"
+            payload = payload_rows.tobytes()
+            headers = {
+                "Content-Type": "application/octet-stream",
+                "X-Rows": str(rows_per_req),
             }
-        ).encode()
+        else:
+            url = f"http://127.0.0.1:{server.port}/v1/score"
+            payload = json.dumps(
+                {
+                    "pcm_b64": base64.b64encode(payload_rows.tobytes()).decode(),
+                    "rows": rows_per_req,
+                }
+            ).encode()
+            headers = {"Content-Type": "application/json"}
 
         latencies: list[float] = []
         lat_lock = threading.Lock()
@@ -104,9 +142,7 @@ def main() -> None:
                         return
                     work.pop()
                 t = time.perf_counter()
-                req = urllib.request.Request(
-                    url, data=payload, headers={"Content-Type": "application/json"}
-                )
+                req = urllib.request.Request(url, data=payload, headers=headers)
                 with urllib.request.urlopen(req, timeout=300) as r:
                     out = json.loads(r.read())
                 if "scores" not in out or len(out["scores"]) != rows_per_req:
@@ -129,19 +165,48 @@ def main() -> None:
         stats = batcher.stats.snapshot()
         server.close()
         lat = np.sort(latencies)
-        return {
-            "utt_per_s": round(total_rows / served_s, 1),
-            "overhead_pct": round(100 * (served_s / direct_s - 1), 1),
+        served_utt_s = total_rows / served_s
+        out = {
+            "utt_per_s": round(served_utt_s, 1),
             "p50_latency_ms": round(1000 * lat[len(lat) // 2], 1),
             "p95_latency_ms": round(1000 * lat[min(math.ceil(len(lat) * 0.95) - 1, len(lat) - 1)], 1),
             "batcher": stats,
         }
+        if probe_utt_s is not None:
+            out["direct_ref_utt_per_s"] = round(probe_utt_s, 1)
+            out["overhead_pct"] = round(100 * (probe_utt_s / served_utt_s - 1), 1)
+        return out
 
     fixed = run_served(None)
     from audioanalysisdetector_tpu.serve.server import default_bucket_ladder
 
     ladder = default_bucket_ladder(max_batch)
     bucketed = run_served(ladder)
+    adaptive = run_served(ladder, adaptive=True)
+
+    # ---- decomposition: tunnel RPC vs true host work ----
+    # (a) serving layer alone: the same HTTP + b64 + batching machinery in
+    # front of a no-op scorer — everything EXCEPT the device round trip.
+    noop = lambda m: np.zeros(len(m), np.float32)  # noqa: E731
+    host_only = run_served(ladder, adaptive=True, lane_scorer=noop)
+    # (a') the same host ceiling over the raw octet-stream endpoint — no
+    # base64 inflation/decode, no JSON body parse.
+    host_raw = run_served(ladder, adaptive=True, lane_scorer=noop, raw=True)
+    # (b) one full-batch device round trip through the tunnel, isolated.
+    t0 = time.perf_counter()
+    reps = 8
+    for _ in range(reps):
+        float(np.asarray(scorer(np.zeros((max_batch, n_samples), np.float32))).sum())
+    tunnel_ms = (time.perf_counter() - t0) / reps * 1e3
+    # (c) local-chip projection: on an untunneled chip the dispatch costs
+    # ~compute only — bench.py's fetch-forced headline rate (utt/s) is the
+    # measured compute floor; HTTP parse/decode overlaps device compute
+    # (worker thread vs HTTP threads), so the served pipeline is bounded by
+    # its slowest stage.
+    compute_utt_s = float(os.environ.get("AAD_CHIP_UTT_S", "184930"))
+    chip_dispatch_ms = max_batch / compute_utt_s * 1e3
+    projection = min(max(host_only["utt_per_s"], host_raw["utt_per_s"]),
+                     compute_utt_s)
 
     print(
         json.dumps(
@@ -149,6 +214,19 @@ def main() -> None:
                 "direct_utt_per_s": round(direct_utt_s, 1),
                 "served_fixed": fixed,
                 "served_bucketed": {**bucketed, "buckets": list(ladder)},
+                "served_adaptive": {**adaptive, "buckets": list(ladder)},
+                "decomposition": {
+                    "host_only_utt_per_s": host_only["utt_per_s"],
+                    "host_only_p50_ms": host_only["p50_latency_ms"],
+                    "host_raw_utt_per_s": host_raw["utt_per_s"],
+                    "host_raw_p50_ms": host_raw["p50_latency_ms"],
+                    "tunnel_dispatch_ms_per_batch": round(tunnel_ms, 1),
+                    "chip_compute_ms_per_batch": round(chip_dispatch_ms, 2),
+                    "tunnel_share_of_dispatch": round(
+                        1 - chip_dispatch_ms / tunnel_ms, 3
+                    ),
+                    "local_chip_projection_utt_per_s": round(projection, 1),
+                },
                 "clients": n_clients,
                 "rows_per_req": rows_per_req,
                 "total_rows": total_rows,

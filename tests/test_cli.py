@@ -306,3 +306,10 @@ def test_cli_gridsearch_full_space(tmp_path, rng, capsys):
     assert summary["feature_set"].nunique() >= 3
     assert summary["model"].nunique() == 2
     assert summary["reducer"].nunique() >= 2
+
+
+def test_cli_serve_parses_adaptive_flag(capsys):
+    """`serve --no-adaptive` must parse (flag plumbed through to the
+    batcher) and still refuse random weights before binding a socket."""
+    assert main(["serve", "--no-adaptive"]) == 2
+    assert "--allow-random" in capsys.readouterr().err

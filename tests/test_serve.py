@@ -382,3 +382,123 @@ def test_http_real_mel_scorer_end_to_end():
         assert all(0.0 <= s <= 1.0 for s in out["scores"])
     finally:
         server.close()
+
+
+def test_adaptive_window_ships_early_at_low_arrival_rate():
+    """Adaptive mode: once the EWMA knows arrivals are far apart, a lone
+    request ships immediately instead of idling out the full window."""
+    scorer, calls = _sum_scorer()
+    b = BatchingScorer(
+        scorer, n_samples=N, max_batch=8, max_wait_ms=400.0,
+        bucket_sizes=(1, 2, 4, 8),
+    )
+    try:
+        rows = np.ones((1, N), np.float32)
+        # sequential lone requests: inter-arrival >> any reachable-boundary
+        # ETA, so after the estimator warms up the window must not be paid
+        b.score(rows)  # no estimate yet -> fixed-window behavior, warms EWMA
+        for _ in range(2):
+            time.sleep(0.5)  # inter-arrival gap >> window cap
+            b.score(rows)
+        t0 = time.monotonic()
+        out = b.score(rows)
+        dt = time.monotonic() - t0
+        np.testing.assert_allclose(out, rows.sum(axis=1), rtol=1e-6)
+        assert dt < 0.2, f"lone request waited the full window ({dt:.3f}s)"
+        assert b.stats.snapshot()["early_ships"] >= 1
+        assert all(shape[0] <= 2 for shape in calls)  # pads to tiny buckets
+    finally:
+        b.close()
+
+
+def test_adaptive_false_waits_full_window():
+    scorer, _ = _sum_scorer()
+    b = BatchingScorer(
+        scorer, n_samples=N, max_batch=8, max_wait_ms=150.0, adaptive=False
+    )
+    try:
+        rows = np.ones((1, N), np.float32)
+        b.score(rows)  # warm (first call also pays the window)
+        t0 = time.monotonic()
+        b.score(rows)
+        dt = time.monotonic() - t0
+        assert dt >= 0.14, f"fixed window returned early ({dt:.3f}s)"
+        assert b.stats.snapshot()["early_ships"] == 0
+    finally:
+        b.close()
+
+
+def test_adaptive_burst_still_coalesces():
+    """A synchronized burst must still aggregate under adaptive mode (the
+    non-blocking drain + reachable-boundary wait see the queued rows)."""
+    scorer, calls = _sum_scorer()
+    b = BatchingScorer(
+        scorer, n_samples=N, max_batch=8, max_wait_ms=100.0,
+        bucket_sizes=(2, 4, 8),
+    )
+    try:
+        rng = np.random.default_rng(1)
+        rows = rng.standard_normal((8, N)).astype(np.float32)
+        results = [None] * 8
+        barrier = threading.Barrier(8)
+
+        def post(i):
+            barrier.wait()
+            results[i] = b.score(rows[i])
+
+        threads = [threading.Thread(target=post, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(8):
+            np.testing.assert_allclose(results[i], rows[i].sum()[None], rtol=1e-5)
+        assert len(calls) < 8, calls
+    finally:
+        b.close()
+
+
+def _post_raw(port, body: bytes, rows=None):
+    headers = {"Content-Type": "application/octet-stream"}
+    if rows is not None:
+        headers["X-Rows"] = str(rows)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/score_raw",
+        data=body, headers=headers, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_score_raw_octet_stream(http_server):
+    """/v1/score_raw: raw <f4 rows + X-Rows header — same scores as the
+    JSON lanes without base64/JSON parse cost."""
+    server, _ = http_server
+    rng = np.random.default_rng(7)
+    rows = rng.standard_normal((5, N)).astype("<f4")
+    status, out = _post_raw(server.port, rows.tobytes(), rows=5)
+    assert status == 200
+    np.testing.assert_allclose(out["scores"], rows.sum(axis=1), rtol=1e-5)
+    assert out["labels"] == [int(s > 0.5) for s in out["scores"]]
+    # X-Rows defaults to 1
+    status, out1 = _post_raw(server.port, rows[0].tobytes())
+    assert status == 200
+    np.testing.assert_allclose(out1["scores"], rows[0].sum()[None], rtol=1e-5)
+
+
+def test_http_score_raw_rejects_malformed(http_server):
+    server, _ = http_server
+    good = np.zeros((2, N), np.float32).tobytes()
+    for body, rows in (
+        (good, 3),            # row count doesn't divide the buffer
+        (good[:-2], 2),       # not a float32 multiple
+        (b"", 1),             # empty payload must not score as silence
+        (good, "two"),        # non-integer X-Rows
+        (good, 0),            # zero rows
+    ):
+        try:
+            _post_raw(server.port, body, rows=rows)
+            code = None
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 400, (rows, len(body))
