@@ -46,13 +46,17 @@ traffic-math promise is the Mosaic toolchain itself, quantified as:
 - the two unavoidable minor-axis transposes between stages cost ~4 ms
   each regardless of volume.
 
-The XLA mel path stays the production default despite the ~1% e2e loss
-to this kernel: the win is within run-to-run noise of the tunnel-timed
-measurement and the XLA path is the bit-stable contract (the kernel's
-reassociated f32 accumulation differs by up to ~0.06 dB after
-``power_to_db(ref=max)``). The kernel is the maintained proof that at
-parity-scale shapes the Mosaic streaming pipeline, not the factorization,
-is the binding constraint. Mosaic legality rules honored (probed): dot_general
+LEDGER CLOSED (round 5, final): the XLA mel path IS the production
+contract and this kernel is **closed — platform-bound**. The ~1% e2e win
+is within run-to-run noise of the tunnel-timed measurement, the XLA path
+is the bit-stable contract (the kernel's reassociated f32 accumulation
+differs by up to ~0.06 dB after ``power_to_db(ref=max)``), and the
+remaining gap to the traffic-math promise is the Mosaic grid-streaming
+ceiling (~126 vs ~575 GB/s), not anything addressable in this kernel.
+No further optimization rounds are planned; the kernel stays maintained
+and parity-tested as the measured proof that at parity-scale shapes the
+Mosaic streaming pipeline, not the factorization, is the binding
+constraint. Mosaic legality rules honored (probed): dot_general
 only as 3D x 2D contracting the MINOR dim or batch-dim0 3D x 3D; reshapes
 only split/merge non-minor dims; no lane-splitting shape casts (the
 waveform is pre-chunked host-side to ``(B, n_pad/64, 64)`` and frames
@@ -342,20 +346,29 @@ def ct_log_mel(
         left = jnp.concatenate(
             [head, wav[:, : (f_lo - 1) * hop + n_fft - pad]], axis=-1
         )
-        need_tail = (n_frames - 1) * hop + n_fft - pad - n  # in [1, pad]
-        tail = wav[:, n - 1 - pad : n - 1][:, ::-1][:, :need_tail]
-        right = jnp.concatenate([wav[:, (f_hi + 1) * hop - pad :], tail], axis=-1)
         fb = jnp.asarray(cfg.filterbank(), wav.dtype)
 
         def bmel(snippet):
+            # method is pinned to the matmul-DFT: it matches the kernel's
+            # numerics, and the drop-in path must never depend on FFT
+            # (UNIMPLEMENTED on the axon TPU runtime).
             S = power_spectrogram(
                 snippet, n_fft=n_fft, hop_length=hop, win_length=cfg.win_length,
                 window=cfg.window, center=False, power=cfg.power,
-                method=cfg.method,
+                method="matmul",
             )
             return jnp.einsum("mf,bft->btm", fb, S)
 
-        mel = jnp.concatenate([bmel(left), mel_int, bmel(right)], axis=1)
+        parts = [bmel(left), mel_int]
+        n_right = n_frames - 1 - f_hi  # frames whose window needs right pad
+        if n_right:  # zero when hop divides n with n % hop >= pad
+            need_tail = (n_frames - 1) * hop + n_fft - pad - n  # in [1, pad]
+            tail = wav[:, n - 1 - pad : n - 1][:, ::-1][:, :need_tail]
+            right = jnp.concatenate(
+                [wav[:, (f_hi + 1) * hop - pad :], tail], axis=-1
+            )
+            parts.append(bmel(right))
+        mel = jnp.concatenate(parts, axis=1)
     else:
         wav_p = jnp.pad(wav, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
         mel = ct_mel(wav_p, cfg, n_frames=n_frames, interpret=interpret)

@@ -61,6 +61,20 @@ def test_ct_log_mel_pads_partial_batch_tile(rng):
         np.testing.assert_array_equal(part, full[:b])
 
 
+def test_ct_log_mel_zero_right_boundary_frames(rng):
+    """Regression (round-4 advisor): hop == n_fft with n % hop >= pad makes
+    every frame interior (f_hi == n_frames-1), so the fast path has zero
+    right-boundary frames and must skip the right snippet instead of
+    handing frame_signal a sub-window signal."""
+    cfg = MelConfig(sr=16000, n_mels=64, hop_length=2048)
+    assert cfg.hop_length == cfg.n_fft
+    wav = jnp.asarray(rng.standard_normal((UTT_TILE, 9728)).astype(np.float32) * 0.1)
+    ref = np.asarray(log_mel_spectrogram(wav, cfg))
+    out = np.asarray(ct_log_mel(wav, cfg, interpret=True))
+    assert out.shape == ref.shape
+    assert np.abs(out - ref).max() < 1e-4
+
+
 def test_ct_log_mel_in_grid_pad_equals_fallback_pad(rng):
     """The segmented in-grid reflect pad (n % 64 == 0 fast path) and the
     XLA-side full pad (fallback) must produce identical log-mels; a
