@@ -466,7 +466,24 @@ def _eval_fused_system(
         fused_metrics["op_threshold"] = float(op_threshold)
         fused_metrics["accuracy_at_op"] = M.accuracy(y_te, y_op)
         fused_metrics["f1_at_op"] = M.f1_binary(y_te, y_op)
+    fused_metrics["_eval_scores"] = fused  # per-chunk fused scores for
+    # per-tier decomposition; stripped before JSON output
     return gmm_metrics, fused_metrics, (scale, bias, w)
+
+
+def _per_tier_eer(y: np.ndarray, scores: np.ndarray, attack: np.ndarray) -> dict:
+    """EER of each spoof system vs ALL bonafide chunks — the ASVspoof
+    challenge's own decomposition of the pooled number (each A0x column of
+    the official result tables)."""
+    from audioanalysisdetector_tpu.train import metrics as M
+
+    y = np.asarray(y)
+    bona = y == 0
+    out = {}
+    for tier in sorted(set(attack[y == 1])):
+        sel = bona | ((y == 1) & (attack == tier))
+        out[str(tier)] = M.eer(y[sel], scores[sel])
+    return out
 
 
 def cmd_train_fused(args) -> int:
@@ -511,6 +528,7 @@ def cmd_train_fused(args) -> int:
         batch_size=args.batch_size, weight=args.fusion_weight,
         calibrate=args.calibrate_llr, gmm_deltas=args.gmm_deltas,
     )
+    fused_metrics.pop("_eval_scores", None)
     print(json.dumps({
         "bilstm": bilstm_metrics, "gmm": gmm_metrics, "fused": fused_metrics,
     }))
@@ -529,15 +547,16 @@ def cmd_train_asvspoof(args) -> int:
 
     os.makedirs(args.run_dir, exist_ok=True)
 
-    def build(metadata: str, name: str) -> tuple[np.ndarray, np.ndarray]:
+    def build(metadata: str, name: str):
         return build_cqcc_arrays(
             metadata, args.audio_dir, name=name, sr=args.sr,
             sample_size=args.sample_size, extension=args.extension,
             rescue_dir=args.run_dir, seed=args.seed, balance=name == "train",
+            return_attack=name == "eval",
         )
 
     x_tr, y_tr = build(args.train_metadata, "train")
-    x_te, y_te = build(args.eval_metadata, "eval")
+    x_te, y_te, attack_te = build(args.eval_metadata, "eval")
     tr, te, _ = prepare_train_test_data(
         x_tr, x_te, scaler_path=os.path.join(args.run_dir, "scaler.npz")
     )
@@ -555,6 +574,9 @@ def cmd_train_asvspoof(args) -> int:
         batch_size=args.batch_size, weight=args.fusion_weight,
         calibrate=args.calibrate_llr, gmm_deltas=args.gmm_deltas,
     )
+    fused_scores = fused_metrics.pop("_eval_scores")
+    if set(attack_te) - {"-", "bonafide", "nan"}:
+        fused_metrics["per_tier_eer"] = _per_tier_eer(y_te, fused_scores, attack_te)
     print(json.dumps({
         "bilstm": bilstm_metrics, "gmm": gmm_metrics, "fused": fused_metrics,
         "n_train": int(len(y_tr)), "n_eval": int(len(y_te)),

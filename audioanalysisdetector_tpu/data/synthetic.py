@@ -88,6 +88,64 @@ def synth_bonafide(
     return y
 
 
+def _reverb(y: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
+    """Sparse exponentially-decaying FIR — room/handset smearing."""
+    n_taps = int(rng.integers(2, 6))
+    delays = rng.integers(int(0.002 * sr), int(0.035 * sr), n_taps)
+    gains = rng.uniform(0.15, 0.5, n_taps) * np.exp(-delays / (0.02 * sr))
+    signs = rng.choice([-1.0, 1.0], n_taps)
+    h = np.zeros(int(delays.max()) + 1)
+    h[0] = 1.0
+    for d, g, s in zip(delays, gains, signs):
+        h[d] += s * g
+    return np.convolve(y, h)[: len(y)]
+
+
+def _add_noise(y: np.ndarray, rng: np.random.Generator, snr_db: float) -> np.ndarray:
+    """Additive noise at the given SNR; pink-tilted half the time."""
+    noise = rng.standard_normal(len(y))
+    if rng.uniform() < 0.5:  # pink-ish tilt: cumulative sum, re-centred
+        noise = np.cumsum(noise)
+        noise = noise - noise.mean()
+    p_sig = float(np.mean(y**2)) + 1e-12
+    p_noise = float(np.mean(noise**2)) + 1e-12
+    g = np.sqrt(p_sig / (p_noise * 10.0 ** (snr_db / 10.0)))
+    return y + g * noise
+
+
+def _bitcrush(y: np.ndarray, bits: int) -> np.ndarray:
+    """Codec round-trip at a low bit depth. FLAC itself is lossless, so a
+    write_flac/decode round-trip at depth ``bits`` IS this uniform
+    requantization (same x/2^(bits-1) scaling as io/flac.py) — applied
+    directly to avoid a per-utterance file round-trip."""
+    q = float(1 << (bits - 1))
+    return np.clip(np.round(y * q), -q, q - 1) / q
+
+
+CHANNEL_PROFILES = ("varied",)
+
+
+def apply_channel(
+    y: np.ndarray, sr: int, rng: np.random.Generator, profile: str = "varied"
+) -> np.ndarray:
+    """Label-independent transmission-channel simulation (recipe v5).
+
+    Every utterance — bonafide and spoof alike, same distribution — draws
+    its channel from the corpus rng: optional reverb smearing, additive
+    noise at a random SNR, optional low-bit-depth codec round-trip. This
+    models the channel variation real LA data carries (the reference's
+    eval partition mixes codecs/transmission, reference/ASV_dl_func.py
+    metadata columns) and pulls the surrogate off its ~0.05-EER floor."""
+    if profile != "varied":
+        raise ValueError(f"unknown channel profile {profile!r}")
+    if rng.uniform() < 0.5:
+        y = _reverb(y, sr, rng)
+    y = _add_noise(y, rng, snr_db=float(rng.uniform(6.0, 24.0)))
+    if rng.uniform() < 0.4:
+        y = _bitcrush(y, int(rng.integers(7, 11)))
+    return y / (np.abs(y).max() + 1e-9) * 0.6
+
+
 def _phase_randomize(y: np.ndarray, sr: int, rng: np.random.Generator) -> np.ndarray:
     """Keep the STFT magnitude, randomize phase (griffin-lim-style buzz)."""
     from scipy.signal import istft, stft
@@ -138,11 +196,14 @@ def make_surrogate_corpus(
     seed: int = 0,
     subset: str = "eval",
     tiers: tuple[str, ...] = SPOOF_TIERS,
+    channel: str | None = None,
 ) -> tuple[str, str]:
     """Write an ASVspoof-LA-layout FLAC tree + metadata file.
 
     Returns (metadata_path, flac_dir). Deterministic for a given seed —
-    rounds compare EER on literally identical audio.
+    rounds compare EER on literally identical audio. ``channel`` (recipe
+    v5) passes every utterance through :func:`apply_channel` with the
+    named profile; ``None`` keeps the clean v3/v4 corpus bit-identical.
     """
     rng = np.random.default_rng(seed)
     flac_dir = os.path.join(root, "flac")
@@ -154,6 +215,8 @@ def make_surrogate_corpus(
     from audioanalysisdetector_tpu.io.flac import write_flac
 
     def _write(y, fid):
+        if channel is not None:
+            y = apply_channel(y, sr, rng, profile=channel)
         x = np.round(np.clip(y, -0.999, 0.999) * 32767).astype(np.int64)
         write_flac(os.path.join(flac_dir, fid + ".flac"), x, sr)
 

@@ -11,9 +11,10 @@ three fusion policies — the reference's literal 0.5/0.5 sigmoid(LLR)
 blend (reference/ASV_dl_func.py:1448-1462), Platt-calibrated, and
 calibrated + train-split auto weight.
 
-Usage: ``python benchmarks/fusion_lab.py [out.json]`` (CPU-pinned, like
-``quality_eval.py`` — the numbers feed the recipe choice, so they must be
-hardware-independent).
+Usage: ``python benchmarks/fusion_lab.py [out.json] [--recipe N]``
+(CPU-pinned, like ``quality_eval.py`` — the numbers feed the recipe
+choice, so they must be hardware-independent). ``--recipe 5`` sweeps on
+the v5 channel-varied corpus (round-5 verdict #3).
 """
 
 from __future__ import annotations
@@ -39,9 +40,15 @@ def main() -> None:
     from audioanalysisdetector_tpu.data.synthetic import make_surrogate_corpus
     from audioanalysisdetector_tpu.train.gmm_system import train_gmm_system
     from audioanalysisdetector_tpu.train.loop import bilstm_pipeline
-    from audioanalysisdetector_tpu.train.quality import RECIPE, build_cqcc_arrays
+    from audioanalysisdetector_tpu.train.quality import RECIPES, build_cqcc_arrays
 
-    r = RECIPE
+    args = [a for a in sys.argv[1:]]
+    version = 4
+    if "--recipe" in args:
+        i = args.index("--recipe")
+        version = int(args[i + 1])
+        del args[i : i + 2]
+    r = RECIPES[version]
     with tempfile.TemporaryDirectory(prefix="fusion_lab_") as workdir:
         tr_meta, tr_dir = make_surrogate_corpus(
             os.path.join(workdir, "train"), subset="train", **r["train"]
@@ -88,6 +95,7 @@ def main() -> None:
                         batch_size=r["batch_size"], weight=weight,
                         calibrate=calibrate, gmm_deltas=deltas,
                     )
+                    fm.pop("_eval_scores", None)
                     rows.append({
                         "ncomp": ncomp, "deltas": deltas, "mode": mode,
                         "gmm_eer": gm["eer"], "fused": fm,
@@ -97,7 +105,7 @@ def main() -> None:
                     print(json.dumps(rows[-1]), flush=True)
 
     out = {"bilstm": bilstm_metrics, "recipe": r, "sweep": rows}
-    path = sys.argv[1] if len(sys.argv) > 1 else None
+    path = args[0] if args else None
     if path:
         with open(path, "w") as f:
             json.dump(out, f, indent=2)
