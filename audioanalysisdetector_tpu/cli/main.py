@@ -26,6 +26,7 @@ import glob as globlib
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -716,6 +717,63 @@ def cmd_classical(args) -> int:
     return 0
 
 
+def _serve_multiprocess(args) -> int:
+    """--workers N > 1: SO_REUSEPORT scale-out (serve/multiproc.py). One
+    spawned process owns the chip + batcher; N HTTP workers share the port
+    and forward rows to it, so the host-side parse/decode ceiling scales
+    with cores while batching still aggregates globally."""
+    from audioanalysisdetector_tpu.serve.multiproc import MultiprocessServer
+    from audioanalysisdetector_tpu.serve.server import default_bucket_ladder
+
+    if args.buckets:
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+    else:
+        buckets = default_bucket_ladder(args.max_batch)
+    srv = MultiprocessServer(
+        workers=args.workers,
+        sr=args.sr,
+        host=args.host,
+        port=args.port,
+        factory_kwargs=dict(
+            checkpoint=args.checkpoint,
+            sr=args.sr,
+            seconds=args.seconds,
+            n_mels=args.n_mels,
+            mel_profile=args.mel_profile,
+            data_parallel={"auto": None, "on": True, "off": False}[
+                args.data_parallel
+            ],
+        ),
+        batcher_kwargs=dict(
+            max_batch=args.max_batch,
+            max_wait_ms=args.max_wait_ms,
+            bucket_sizes=buckets,
+            adaptive=not args.no_adaptive,
+        ),
+    )
+    srv.start()
+    print(
+        json.dumps(
+            {
+                "listening": f"http://{args.host}:{srv.port}",
+                "endpoints": ["/v1/score", "/v1/score_raw", "/v1/stats", "/healthz"],
+                "workers": args.workers,
+                "max_batch": args.max_batch,
+                "buckets": list(buckets),
+            }
+        ),
+        flush=True,
+    )
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.close()
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP scoring service: dynamic micro-batching in front of the chip
     (serve/server.py). Warm up the compile, bind, serve until SIGINT."""
@@ -729,6 +787,8 @@ def cmd_serve(args) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.workers > 1:
+        return _serve_multiprocess(args)
     scorer, n_samples = build_mel_scorer(
         checkpoint=args.checkpoint,
         sr=args.sr,
@@ -1005,6 +1065,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument(
         "--allow-random", action="store_true",
         help="serve randomly initialized weights (smoke tests only)",
+    )
+    sp.add_argument(
+        "--workers", type=int, default=1,
+        help="HTTP worker processes sharing the port via SO_REUSEPORT "
+        "(serve/multiproc.py); 1 = single-process in-threads mode. The "
+        "device stays owned by ONE process either way — workers forward "
+        "rows over a unix socket, so micro-batching aggregates across "
+        "all of them",
     )
     sp.set_defaults(fn=cmd_serve)
 

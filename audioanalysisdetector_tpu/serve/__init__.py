@@ -7,6 +7,9 @@ chip serves many clients at its batched throughput. See
 ``serve/server.py`` for the design rationale.
 """
 
+from audioanalysisdetector_tpu.serve.multiproc import (
+    MultiprocessServer,
+)
 from audioanalysisdetector_tpu.serve.server import (
     BatchingScorer,
     ScoreServer,
@@ -14,4 +17,10 @@ from audioanalysisdetector_tpu.serve.server import (
     build_mel_scorer,
 )
 
-__all__ = ["BatchingScorer", "ScoreServer", "ServiceOverloaded", "build_mel_scorer"]
+__all__ = [
+    "BatchingScorer",
+    "MultiprocessServer",
+    "ScoreServer",
+    "ServiceOverloaded",
+    "build_mel_scorer",
+]

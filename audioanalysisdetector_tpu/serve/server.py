@@ -484,6 +484,7 @@ class ScoreServer:
         host: str = "127.0.0.1",
         port: int = 0,
         request_timeout: float = 60.0,
+        reuse_port: bool = False,
     ):
         self.batcher = batcher
         self.sr = int(sr)
@@ -554,7 +555,22 @@ class ScoreServer:
                         },
                     )
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        if reuse_port:
+            # multi-process mode (serve/multiproc.py): every worker binds
+            # the same concrete port; the kernel load-balances connections
+            # across the reuseport group
+            import socket as _socket
+
+            class _ReusePortServer(ThreadingHTTPServer):
+                def server_bind(self):
+                    self.socket.setsockopt(
+                        _socket.SOL_SOCKET, _socket.SO_REUSEPORT, 1
+                    )
+                    ThreadingHTTPServer.server_bind(self)
+
+            self._httpd = _ReusePortServer((host, port), Handler)
+        else:
+            self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
 
     # ---- request assembly ----
@@ -601,11 +617,16 @@ class ScoreServer:
         return _fit_rows(raw.reshape(rows, -1), self.batcher.n_samples)
 
     def _health(self) -> dict:
-        import jax
+        # a RemoteScorer (multi-process worker) carries the owner's platform
+        # string; only the in-process path asks JAX directly
+        platform = getattr(self.batcher, "platform", None)
+        if platform is None:
+            import jax
 
+            platform = jax.devices()[0].platform
         return {
             "ok": True,
-            "platform": jax.devices()[0].platform,
+            "platform": platform,
             "sr": self.sr,
             "n_samples": self.batcher.n_samples,
             "max_batch": self.batcher.max_batch,

@@ -53,9 +53,15 @@ RECIPE = dict(
 # utterance, both classes, same distribution: optional reverb FIR, additive
 # noise at SNR~U(6,24) dB, optional low-bit-depth codec round-trip — see
 # data.synthetic.apply_channel) and quadruples the eval set so the EER
-# step drops 1/240 -> 1/960. Arms land mid-band with visible separation
-# (fusion_lab on the v5 corpus picks the GMM config below). The v4 recipe
-# stays runnable for trend continuity (quality_eval records both lanes).
+# step drops 1/240 -> 1/960. The GMM config below is the winner of the
+# 18-config fusion_lab sweep ON THIS corpus (FUSION_LAB_v5.json): 128
+# components, NO deltas, the reference's literal 0.5/0.5 sigmoid(LLR)
+# blend (reference/ASV_dl_func.py:1448-1462) — under channel variation the
+# Δ/ΔΔ frames and Platt calibration that won on the clean v4 corpus both
+# LOSE (deltas amplify channel noise; the calibrator overfits the train
+# channel draw), while the literal blend is best in all 18 cells
+# (fused 0.2302 vs BiLSTM 0.2354 vs GMM 0.2719). The v4 recipe stays
+# runnable for trend continuity (quality_eval records both lanes).
 RECIPE_V5 = dict(
     version=5,
     train=dict(
@@ -66,8 +72,8 @@ RECIPE_V5 = dict(
         n_bonafide=480, n_spoof_per_tier=160, seconds=4.5, seed=1,
         channel="varied",
     ),
-    epochs=40, hidden=64, gmm_components=64, batch_size=16, lr=3e-4,
-    gmm_deltas=True, calibrate_llr=True, fusion_weight="auto",
+    epochs=40, hidden=64, gmm_components=128, batch_size=16, lr=3e-4,
+    gmm_deltas=False, calibrate_llr=False, fusion_weight=0.5,
 )
 
 RECIPES = {4: RECIPE, 5: RECIPE_V5}
@@ -176,22 +182,30 @@ def run_multiseed_quality(
     *,
     recipe: dict | None = None,
     seed_pairs: tuple[tuple[int, int], ...] = SEED_PAIRS,
+    precomputed: dict | None = None,
 ) -> dict:
     """Robustness lane (round-4 verdict #1): the frozen recipe over several
     DISJOINT (train, eval) seed pairs, so a one-EER-step fused win cannot be
     an artifact of one seed pair. Returns per-seed fused/BiLSTM/GMM EER plus
     mean/std per arm and the fused-beats-BiLSTM win rate (ties count as
-    wins: fusion's bar is "never worse than its best arm")."""
+    wins: fusion's bar is "never worse than its best arm").
+
+    ``precomputed`` maps a ``(train_seed, eval_seed)`` pair to an existing
+    ``run_surrogate_quality`` result — the per-round trend lane already
+    computes pair (0, 1), no point training it twice."""
     import numpy as np
 
     r = dict(recipe or RECIPE)
     per_seed = []
     for tr_seed, ev_seed in seed_pairs:
-        ri = {**r, "train": {**r["train"], "seed": tr_seed},
-              "eval": {**r["eval"], "seed": ev_seed}}
-        m = run_surrogate_quality(
-            os.path.join(workdir, f"s{tr_seed}_{ev_seed}"), recipe=ri
-        )
+        if precomputed and (tr_seed, ev_seed) in precomputed:
+            m = precomputed[(tr_seed, ev_seed)]
+        else:
+            ri = {**r, "train": {**r["train"], "seed": tr_seed},
+                  "eval": {**r["eval"], "seed": ev_seed}}
+            m = run_surrogate_quality(
+                os.path.join(workdir, f"s{tr_seed}_{ev_seed}"), recipe=ri
+            )
         per_seed.append({
             "seeds": [tr_seed, ev_seed],
             "bilstm_eer": m["bilstm"]["eer"],
