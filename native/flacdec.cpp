@@ -322,6 +322,76 @@ bool parse_stream_header(const uint8_t* data, size_t size, StreamInfo* info,
   return have_info && info->sample_rate > 0;
 }
 
+// Decode `count` Rice codewords into zigzag-decoded samples with a
+// REGISTER-LOCAL bit cursor. read_rice round-trips the reader state
+// through memory on every call and its `n < 44` guard refills every ~2
+// codewords; here the cursor (byte/acc/n) lives in locals for the whole
+// partition, refills amortize over however many codewords the 64-bit
+// window holds (~4 at typical params), and the loop-carried chain is just
+// clz -> t -> acc <<= t with a rare-taken guard for t == 64 (x86 shifts
+// mask the count; without the guard stale bits would survive).
+// Long zero runs (quotient > buffered bits) and the end-of-buffer tail
+// fall back to the generic reader. Measured on the FIXED-predictor
+// corpus of benchmarks/bench_decode_scaling.py: 5.2 -> 3.4 ns/codeword
+// standalone at param 11 (together with the -march=native build flag),
+// dominating whole-utterance decode cost.
+template <typename S>
+static void rice_decode_run(BitReader& br, const int param, const int count,
+                            S* out) {
+  const uint8_t* const data = br.data;
+  const size_t size = br.size;
+  size_t byte = br.byte;
+  uint64_t acc = br.acc;
+  int n = br.n;
+  S* p = out;
+  S* const end = out + count;
+  const uint32_t mask = (uint32_t)((1u << param) - 1);
+  while (p < end) {
+    if (n < 57 && byte + 8 <= size) {  // top up: one bswap'd 64-bit load
+      uint64_t w;
+      memcpy(&w, data + byte, 8);
+      w = __builtin_bswap64(w);
+      const int k = (64 - n) >> 3;
+      const int excess = (64 - n) - 8 * k;
+      acc |= (w >> n) & ~((1ull << excess) - 1);
+      byte += k;
+      n += 8 * k;
+    }
+    for (;;) {
+      if (acc == 0) break;  // >= n-bit zero run: refill or generic path
+      const int lz = __builtin_clzll(acc);
+      const int t = lz + 1 + param;  // whole codeword length in bits
+      if (t > n) break;
+      // remainder extraction is OFF the loop-carried chain (it reads the
+      // pre-shift acc)
+      const uint32_t rem = (uint32_t)(acc >> (64 - t)) & mask;
+      if (__builtin_expect(t == 64, 0)) acc = 0;
+      else acc <<= t;
+      n -= t;
+      const uint32_t v = ((uint32_t)lz << param) | rem;
+      *p++ = (S)((S)(v >> 1) ^ -(S)(v & 1));
+      if (p >= end) goto done;
+    }
+    if (n < 57 && byte + 8 <= size) continue;  // window refillable
+    // long zero run or end-of-buffer tail: generic reader handles it
+    br.byte = byte;
+    br.acc = acc;
+    br.n = n;
+    {
+      const uint32_t v = br.read_rice(param);
+      byte = br.byte;
+      acc = br.acc;
+      n = br.n;
+      if (br.fail) break;
+      *p++ = (S)((S)(v >> 1) ^ -(S)(v & 1));
+    }
+  }
+done:
+  br.byte = byte;
+  br.acc = acc;
+  br.n = n;
+}
+
 // The sample datapath is templated: S = int32_t for bps <= 26 (residuals,
 // stereo decorrelation, and wasted-bit shifts all fit — libFLAC makes the
 // same split), int64_t for deeper streams. The int32 instantiation halves
@@ -349,10 +419,7 @@ bool decode_residual(BitReader& br, int block_size, int order, S* out) {
         for (int i = 0; i < count; ++i) out[idx + i] = (S)br.read_signed(raw_bits);
       }
     } else {
-      for (int i = 0; i < count; ++i) {
-        const uint32_t val = br.read_rice((int)param);
-        out[idx + i] = (S)((int64_t)(val >> 1) ^ -(int64_t)(val & 1));
-      }
+      rice_decode_run(br, (int)param, count, out + idx);
     }
     idx += count;
     if (br.fail) return false;
@@ -560,8 +627,10 @@ long decode_chunk_impl(const std::vector<uint8_t>& buf, size_t pos,
                        long n_samples, float* out) {
   const float scale =
       1.0f / (float)(1ull << (info.bits_per_sample - 1)) / (float)info.channels;
-  std::vector<std::vector<S>> chans;
-  std::vector<S> scratch;
+  // thread-local for the same reason as flac_decode_chunk's file buffer:
+  // one allocation per worker thread, not per decoded file
+  static thread_local std::vector<std::vector<S>> chans;
+  static thread_local std::vector<S> scratch;
   long sample_pos = 0;  // absolute sample index at frame start
   long written = 0;
   const long stop = start_frame + n_samples;
@@ -640,7 +709,11 @@ int flac_info(const char* path, int64_t* frames, int32_t* sample_rate,
 //   -1 open/read error, -2 malformed stream, -3 sample-rate mismatch.
 long flac_decode_chunk(const char* path, long start_frame, long n_samples,
                        int32_t expected_sr, float* out) {
-  std::vector<uint8_t> buf;
+  // thread-local: batch decode calls this once per file per worker thread;
+  // reusing the buffer keeps its capacity (no per-file malloc + the
+  // vector's zero-fill of grown bytes only happens when a larger file
+  // arrives, not per call)
+  static thread_local std::vector<uint8_t> buf;
   if (!flacdec::read_file(path, &buf)) return -1;
   flacdec::StreamInfo info;
   size_t pos;
