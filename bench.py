@@ -109,6 +109,8 @@ def _arm_deadline_reaper(deadline_s: float) -> None:
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -160,6 +162,21 @@ def main() -> None:
     acc = chained(wav, acc)  # compile
     float(acc)
 
+    # FLOPs accounting for the MFU line: ask XLA's cost model for the
+    # compiled program's flop count (exact for the GEMM-dominated graph);
+    # fall back to the hand arithmetic in benchmarks/README.md if the
+    # plugin doesn't expose cost_analysis.
+    flops_per_utt, flops_source = 537e6, "analytic (benchmarks/README.md)"
+    try:
+        ca = chained.lower(wav, acc).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca and ca.get("flops"):
+            flops_per_utt = float(ca["flops"]) / batch
+            flops_source = "xla_cost_analysis"
+    except Exception:  # noqa: BLE001 — cost model is informational
+        pass
+
     t0 = time.perf_counter()
     acc = jnp.zeros((), jnp.float32)
     for _ in range(n_iters):
@@ -193,20 +210,91 @@ def main() -> None:
     float(acc)
     sp_utt_per_sec = batch * n_iters / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": round(utt_per_sec, 1),
-                "unit": "utt/s",
-                "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
-                "speech_profile_utt_s": round(sp_utt_per_sec, 1),
-                "speech_profile_vs_baseline": round(
-                    sp_utt_per_sec / BASELINE_UTT_PER_SEC, 2
-                ),
-            }
-        )
-    )
+    # ---- self-certifying north-star terms (round-4 verdict #6) ----
+    # (a) MFU: model flops x measured rate vs this platform's OBSERVED f32
+    # GEMM ceiling (~130 TFLOP/s measured on this chip — see
+    # benchmarks/README.md; override via AAD_F32_PEAK_TFLOPS for other
+    # parts). The matmul-DFT front end is f32 by platform necessity (FFT
+    # unimplemented; bf16 GEMMs measured SLOWER here), so f32 peak is the
+    # honest denominator.
+    f32_peak_tflops = float(os.environ.get("AAD_F32_PEAK_TFLOPS", "130"))
+    tflops = flops_per_utt * utt_per_sec / 1e12
+    # (b) decode-inclusive projection: measure the native FLAC decoder's
+    # per-core cost RIGHT HERE (small in-repo-encoder corpus, CPU-seconds
+    # per utterance), then compose: a deployment host feeding this chip
+    # spends ceil(chip_rate / decode_rate_per_core) cores on decode; the
+    # projection is chip-bound when the provisioned host (default: a v5e
+    # host's 24 cores, minus 2 reserved for serving/IO) can feed it.
+    decode_us = None
+    try:
+        decode_us = _measure_decode_us_per_utt(sr=sr, seconds=seconds)
+    except Exception:  # noqa: BLE001 — decode probe is informational
+        pass
+    host_cores = int(os.environ.get("AAD_HOST_CORES", "24"))
+    decode_cores = max(1, host_cores - 2)
+    line = {
+        "metric": METRIC,
+        "value": round(utt_per_sec, 1),
+        "unit": "utt/s",
+        "vs_baseline": round(utt_per_sec / BASELINE_UTT_PER_SEC, 2),
+        "speech_profile_utt_s": round(sp_utt_per_sec, 1),
+        "speech_profile_vs_baseline": round(
+            sp_utt_per_sec / BASELINE_UTT_PER_SEC, 2
+        ),
+        "model_flops_per_utt": round(flops_per_utt),
+        "flops_source": flops_source,
+        "tflops": round(tflops, 1),
+        "mfu_vs_f32_peak": round(tflops / f32_peak_tflops, 3),
+    }
+    if decode_us is not None:
+        per_core_rate = 1e6 / decode_us
+        line.update({
+            "decode_us_per_utt_core": round(decode_us, 1),
+            "decode_cores_for_chip_rate": int(
+                np.ceil(utt_per_sec / per_core_rate)
+            ),
+            "projected_decode_inclusive_utt_s": round(
+                min(utt_per_sec, decode_cores * per_core_rate), 1
+            ),
+            "host_cores_assumed": host_cores,
+        })
+    print(json.dumps(line))
+
+
+def _measure_decode_us_per_utt(*, sr: int, seconds: int, n_files: int = 48) -> float:
+    """CPU-microseconds per utterance for native FLAC decode, measured on a
+    small in-repo-encoder corpus (same content recipe as
+    benchmarks/bench_decode_scaling.py, smaller N so the headline bench
+    stays fast). time.process_time sums CPU across loader threads, so the
+    number is per-CORE cost."""
+    import tempfile
+
+    from audioanalysisdetector_tpu.io.flac import write_flac
+    from audioanalysisdetector_tpu.io.native_loader import load_chunk_batch_native
+
+    n = sr * seconds
+    t = np.arange(n) / sr
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory(prefix="bench_dec_") as root:
+        paths = []
+        for i in range(n_files):
+            y = (
+                0.3 * np.sin(2 * np.pi * (110 + 5 * (i % 50)) * t)
+                + 0.1 * np.sin(2 * np.pi * (800 + 20 * (i % 30)) * t)
+                + 0.03 * rng.standard_normal(n)
+            )
+            x = np.round(np.clip(y, -0.999, 0.999) * 32767).astype(np.int64)
+            p = f"{root}/f{i:05d}.flac"
+            write_flac(p, x, sr)
+            paths.append(p)
+        starts, ends = [0.0] * n_files, [float(seconds)] * n_files
+        load_chunk_batch_native(paths, starts, ends, sr=sr, n_threads=1)  # warm
+        best = float("inf")
+        for _ in range(4):
+            c0 = time.process_time()
+            load_chunk_batch_native(paths, starts, ends, sr=sr, n_threads=1)
+            best = min(best, (time.process_time() - c0) / n_files * 1e6)
+    return best
 
 
 if __name__ == "__main__":

@@ -313,3 +313,43 @@ def test_cli_serve_parses_adaptive_flag(capsys):
     batcher) and still refuse random weights before binding a socket."""
     assert main(["serve", "--no-adaptive"]) == 2
     assert "--allow-random" in capsys.readouterr().err
+
+
+def test_cli_train_asvspoof_on_la_layout_fixture(tmp_path, capsys):
+    """The real-LA bridge, rehearsed file-format-down (round-4 verdict #8):
+    a miniature ASVspoof-LA-layout tree (real metadata column format,
+    in-repo FLAC files) through the FULL ``train-asvspoof`` CLI — the one
+    command that validates the quality north star when real LA data is
+    mounted. Asserts the JSON output contract (per-arm metrics, fused
+    per-tier EER decomposition, calibration block) and the persisted run
+    artifacts (scaler, BiLSTM checkpoint, the three GMMs)."""
+    import glob
+
+    from audioanalysisdetector_tpu.data.synthetic import make_surrogate_corpus
+
+    tr_meta, tr_dir = make_surrogate_corpus(
+        str(tmp_path / "train"), n_bonafide=6, n_spoof_per_tier=2,
+        seconds=2.5, seed=0, subset="train",
+    )
+    ev_meta, ev_dir = make_surrogate_corpus(
+        str(tmp_path / "eval"), n_bonafide=6, n_spoof_per_tier=2,
+        seconds=2.5, seed=1, subset="eval",
+    )
+    run_dir = str(tmp_path / "run")
+    assert main([
+        "train-asvspoof", tr_meta, ev_meta, "--audio-dir", tr_dir, ev_dir,
+        "--epochs", "2", "--hidden", "8", "--gmm-components", "4",
+        "--batch-size", "8", "--run-dir", run_dir,
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for arm in ("bilstm", "gmm", "fused"):
+        assert "eer" in out[arm], out
+    assert set(out["fused"]["per_tier_eer"]) == {"A01", "A02", "A03"}
+    assert {"scale", "bias", "weight"} <= set(out["calibration"])
+    assert out["n_train"] == 12 and out["n_eval"] == 12
+    # persisted artifacts: the deployment contract of the run directory
+    assert os.path.exists(os.path.join(run_dir, "scaler.npz"))
+    for gmm in ("ubm", "gmm_genuine", "gmm_df"):
+        assert os.path.exists(os.path.join(run_dir, f"{gmm}.npz")), gmm
+    assert glob.glob(os.path.join(run_dir, "**", "best_model.msgpack"),
+                     recursive=True)
