@@ -554,6 +554,7 @@ def cmd_train_asvspoof(args) -> int:
             sample_size=args.sample_size, extension=args.extension,
             rescue_dir=args.run_dir, seed=args.seed, balance=name == "train",
             return_attack=name == "eval",
+            augment=args.augment and name == "train",
         )
 
     x_tr, y_tr = build(args.train_metadata, "train")
@@ -1002,6 +1003,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--gmm-components", type=int, default=128)
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--run-dir", default="GMM-BiLSTM")
+    sp.add_argument(
+        "--augment", action="store_true",
+        help="expand the TRAIN split with the reference's augmentation "
+        "policy (p=0.8 one of pitch/noise, p=0.5 a pair; applied on-device "
+        "during extraction — reference/ASV_dl_func.py:96-127)",
+    )
     fusion_flags(sp)
     sp.set_defaults(fn=cmd_train_asvspoof)
 

@@ -95,6 +95,7 @@ def build_cqcc_arrays(
     seed: int = 0,
     balance: bool = False,
     return_attack: bool = False,
+    augment: bool = False,
 ):
     """Metadata + audio folders -> (x (N, T, 19) float32, y (N,) int) via the
     flagship CQCC path (ASV_deep_learning.ipynb cells 22-24): 2-s chunking,
@@ -105,7 +106,12 @@ def build_cqcc_arrays(
     ``return_attack=True`` appends the per-chunk attack-system ids
     (metadata ``attack_id`` column, '-'/'bonafide' for genuine speech) so
     callers can report per-tier EER (each spoof system vs all bonafide —
-    how the ASVspoof challenge itself decomposes the pooled number)."""
+    how the ASVspoof challenge itself decomposes the pooled number).
+
+    ``augment=True`` applies the reference's row-expansion policy
+    (reference/ASV_dl_func.py:96-127: p=0.8 one augmentation, p=0.5 a
+    pair — pitch/noise, applied on-device during extraction) to the split
+    before feature extraction; train-split only."""
     import numpy as np
 
     from audioanalysisdetector_tpu.data import (
@@ -122,7 +128,11 @@ def build_cqcc_arrays(
     )
     if df.empty:
         raise SystemExit(f"no usable utterances from {metadata}")
-    df = extract_features(df, ["cqcc"], sr=sr)
+    if augment:
+        from audioanalysisdetector_tpu.data.balance import add_data_augmentation
+
+        df = add_data_augmentation(df, seed=seed)
+    df = extract_features(df, ["cqcc"], sr=sr, seed=seed)
     df = prepare_data_gmm_bilstm(df)  # filtr_nan + time-major transpose
     df["label_num"] = (df["label"].astype(str).str.lower() == "spoof").astype(int)
     if balance:
@@ -167,6 +177,8 @@ def run_surrogate_quality(workdir: str, *, recipe: dict | None = None) -> dict:
         argv.append("--calibrate-llr")
     if r.get("gmm_deltas"):
         argv.append("--gmm-deltas")
+    if r.get("augment"):
+        argv.append("--augment")
     buf = io.StringIO()
     with redirect_stdout(buf):
         rc = main(argv)
