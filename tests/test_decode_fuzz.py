@@ -156,3 +156,36 @@ def test_wav_fuzz_error_contract(tmp_path):
         )
         assert out.shape == (len(paths), SR * SECONDS)
         assert np.isfinite(out).all()
+
+
+@pytest.mark.skipif(not native_available(), reason="native loader unavailable")
+def test_native_rice_hot_loop_edge_streams(tmp_path):
+    """Targeted edges for the round-5 Rice hot loop (native/flacdec.cpp
+    rice_decode_run): (a) isolated huge spikes -> very long unary quotients
+    (the long-zero-run slow path and the t==64 shift guard), (b) near-
+    constant signal -> tiny params / quotient-dominated codewords, (c) a
+    dense alternating extreme signal -> escape/verbatim-ish partitions.
+    Native output must match the portable Python decoder bit-for-bit."""
+    rng = np.random.default_rng(11)
+    n = SR * SECONDS
+    signals = {
+        # one enormous residual outlier per frame region: the encoder's
+        # single-partition param stays small, so the spike's quotient is a
+        # multi-hundred-bit unary run
+        "spikes": np.where(
+            np.arange(n) % 4099 == 0, 30000, (rng.integers(-3, 4, n))
+        ).astype(np.int64),
+        "near_constant": (np.ones(n) * 5 + rng.integers(0, 2, n)).astype(np.int64),
+        "extreme_alt": (np.tile([32700, -32700], n // 2)[:n]
+                        + rng.integers(-5, 6, n)).astype(np.int64),
+    }
+    for name, x in signals.items():
+        path = str(tmp_path / f"{name}.flac")
+        write_flac(path, x, SR)
+        py, info = decode_flac(path)  # (n, channels) int32, unscaled
+        ref = (
+            np.asarray(py, np.float32).reshape(-1)[:n]
+            / float(1 << (info.bits_per_sample - 1))
+        )
+        nat = load_chunk_batch_native([path], [0.0], [float(SECONDS)], sr=SR)
+        np.testing.assert_array_equal(ref, nat[0][:n], err_msg=name)
