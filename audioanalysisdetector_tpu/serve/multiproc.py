@@ -459,9 +459,22 @@ class MultiprocessServer:
         owner.start()
         self._procs.append(owner)
         deadline = time.monotonic() + ready_timeout
-        if not events[0].wait(ready_timeout):
-            self.close()
-            raise TimeoutError("device owner did not become ready")
+
+        def _await(ev, proc, what: str) -> None:
+            # poll so a child that DIED during init (bad checkpoint, import
+            # error) fails fast instead of burning the whole ready_timeout
+            while not ev.wait(1.0):
+                if not proc.is_alive():
+                    self.close()
+                    raise RuntimeError(
+                        f"{what} exited during startup "
+                        f"(exitcode {proc.exitcode})"
+                    )
+                if time.monotonic() >= deadline:
+                    self.close()
+                    raise TimeoutError(f"{what} did not become ready")
+
+        _await(events[0], owner, "device owner")
         for i in range(self.workers):
             w = ctx.Process(
                 target=_worker_entry,
@@ -474,10 +487,8 @@ class MultiprocessServer:
             )
             w.start()
             self._procs.append(w)
-        for ev in events[1:]:
-            if not ev.wait(max(0.0, deadline - time.monotonic())):
-                self.close()
-                raise TimeoutError("an HTTP worker did not become ready")
+        for i, ev in enumerate(events[1:]):
+            _await(ev, self._procs[1 + i], f"HTTP worker {i}")
 
     def close(self) -> None:
         for p in self._procs:
