@@ -373,7 +373,7 @@ def cmd_xai(args) -> int:
 def _eval_fused_system(
     best_state, g_gen, g_spoof, tr, y_tr, te, y_te, *,
     batch_size: int, weight: float | str = 0.5, calibrate: bool = False,
-    gmm_deltas: bool = False,
+    gmm_deltas: bool = False, gmm_cmvn: bool = False,
 ):
     """Shared fused-system evaluation: per-arm diagnostics + fused metrics.
 
@@ -402,12 +402,12 @@ def _eval_fused_system(
         make_arm_scorer,
     )
     from audioanalysisdetector_tpu.train import metrics as M
-    from audioanalysisdetector_tpu.train.gmm_system import add_sequence_deltas
+    from audioanalysisdetector_tpu.train.gmm_system import make_gmm_feature_fn
 
     apply_fn, variables = best_state.apply_fn, {"params": best_state.params}
     arms = make_arm_scorer(
         apply_fn, variables, g_gen, g_spoof,
-        gmm_feature_fn=add_sequence_deltas if gmm_deltas else None,
+        gmm_feature_fn=make_gmm_feature_fn(deltas=gmm_deltas, cmvn=gmm_cmvn),
     )
 
     def run_arms(x):
@@ -522,12 +522,13 @@ def cmd_train_fused(args) -> int:
     )
     _, g_gen, g_spoof = train_gmm_system(
         tr, y[:split], n_components=args.gmm_components, model_dir=args.run_dir,
-        adapt_mode=args.map_adapt, deltas=args.gmm_deltas,
+        adapt_mode=args.map_adapt, deltas=args.gmm_deltas, cmvn=args.gmm_cmvn,
     )
     gmm_metrics, fused_metrics, _ = _eval_fused_system(
         result.best_state, g_gen, g_spoof, tr, y[:split], te, y[split:],
         batch_size=args.batch_size, weight=args.fusion_weight,
         calibrate=args.calibrate_llr, gmm_deltas=args.gmm_deltas,
+        gmm_cmvn=args.gmm_cmvn,
     )
     fused_metrics.pop("_eval_scores", None)
     print(json.dumps({
@@ -569,12 +570,13 @@ def cmd_train_asvspoof(args) -> int:
     )
     _, g_gen, g_spoof = train_gmm_system(
         tr, y_tr, n_components=args.gmm_components, model_dir=args.run_dir,
-        adapt_mode=args.map_adapt, deltas=args.gmm_deltas,
+        adapt_mode=args.map_adapt, deltas=args.gmm_deltas, cmvn=args.gmm_cmvn,
     )
     gmm_metrics, fused_metrics, calibration = _eval_fused_system(
         result.best_state, g_gen, g_spoof, tr, y_tr, te, y_te,
         batch_size=args.batch_size, weight=args.fusion_weight,
         calibrate=args.calibrate_llr, gmm_deltas=args.gmm_deltas,
+        gmm_cmvn=args.gmm_cmvn,
     )
     fused_scores = fused_metrics.pop("_eval_scores")
     if set(attack_te) - {"-", "bonafide", "nan"}:
@@ -972,6 +974,12 @@ def build_parser() -> argparse.ArgumentParser:
             "--gmm-deltas", action="store_true",
             help="model CQCC+delta+delta-delta frames in the GMM arm (the "
             "classic ASVspoof CQCC-GMM recipe; the BiLSTM arm is unchanged)",
+        )
+        sp.add_argument(
+            "--gmm-cmvn", action="store_true",
+            help="per-utterance cepstral mean/variance normalization of the "
+            "GMM arm's frames (cancels convolutional channel offsets; the "
+            "BiLSTM arm is unchanged)",
         )
 
     sp = sub.add_parser("train-fused", help="GMM(+)BiLSTM flagship system")

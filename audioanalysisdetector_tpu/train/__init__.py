@@ -17,9 +17,12 @@ from audioanalysisdetector_tpu.train.loop import (
     would_use_dp,
 )
 from audioanalysisdetector_tpu.train.gmm_system import (
+    add_sequence_deltas,
     eval_model,
     load_bilstm_model,
     load_gmm_models,
+    make_gmm_feature_fn,
+    sequence_cmvn,
     train_gmm_system,
 )
 from audioanalysisdetector_tpu.train.losses import LOSSES, get_loss
@@ -69,8 +72,11 @@ __all__ = [
     "would_use_dp",
     "fit_bucketed",
     "get_loss",
+    "add_sequence_deltas",
     "load_bilstm_model",
     "load_gmm_models",
+    "make_gmm_feature_fn",
+    "sequence_cmvn",
     "train_gmm_system",
     "make_dp_train_step",
     "make_eval_step",

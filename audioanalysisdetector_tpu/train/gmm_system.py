@@ -51,6 +51,46 @@ def add_sequence_deltas(seqs, *, width: int = 9):
     return jnp.concatenate([seqs, d1, d2], axis=-1)
 
 
+def sequence_cmvn(seqs, *, variance: bool = True):
+    """(…, T, F) -> per-utterance cepstral mean (and variance) normalization
+    over the TIME axis.
+
+    A transmission channel is (to first order) a convolution, i.e. an
+    additive offset in the cepstral domain — per-utterance mean subtraction
+    removes it. The reference's CQCC-GMM feeds raw frames
+    (reference/ASV_dl_func.py:1132-1203), fine on single-channel LA train
+    data but not under the channel variation the eval partitions (and the
+    recipe-v5 surrogate corpus) carry. Jit-safe; unmasked — the flagship
+    path feeds fixed-length 2-s chunks, so there are no padded frames to
+    exclude (mirrors :func:`add_sequence_deltas`'s contract). Apply the
+    SAME transform at train and score time via :func:`make_gmm_feature_fn`.
+    """
+    from audioanalysisdetector_tpu.frontend.mfcc import cmvn
+
+    return cmvn(seqs, axis=-2, variance=variance)
+
+
+def make_gmm_feature_fn(*, deltas: bool = False, cmvn: bool = False):
+    """Compose the GMM arm's frame transform; returns ``None`` for identity.
+
+    Order is deltas-then-CMVN, matching ``frontend.mfcc.mfcc_deltas_cmvn``
+    (normalize every modelled dimension, Δ/ΔΔ included). The same callable
+    must be given to both ``train_gmm_system(feature_fn=...)`` and
+    ``score.make_arm_scorer(gmm_feature_fn=...)``.
+    """
+    if not deltas and not cmvn:
+        return None
+
+    def fn(seqs):
+        if deltas:
+            seqs = add_sequence_deltas(seqs)
+        if cmvn:
+            seqs = sequence_cmvn(seqs)
+        return seqs
+
+    return fn
+
+
 def train_gmm_system(
     train_seqs: np.ndarray,
     labels: np.ndarray,
@@ -61,6 +101,7 @@ def train_gmm_system(
     adapt_mode: str = "means",
     var_floor_rel: float = 1e-3,
     deltas: bool = False,
+    cmvn: bool = False,
     model_dir: str = "GMM-BiLSTM",
     seed: int = 42,
     verbose: bool = False,
@@ -75,6 +116,10 @@ def train_gmm_system(
     0.58 full vs 0.275 means-only, with saturated/inverted LLRs in the full
     mode) — fixed-with-a-pointer per SURVEY.md §7. ``var_floor_rel``
     guards the UBM EM against variance collapse for the same reason.
+
+    ``deltas``/``cmvn`` select the GMM frame transform (see
+    :func:`make_gmm_feature_fn`); score with the SAME transform via
+    ``make_arm_scorer(gmm_feature_fn=make_gmm_feature_fn(deltas=..., cmvn=...))``.
     """
     if adapt_mode not in ("means", "full"):
         raise ValueError(f"adapt_mode must be 'means' or 'full', got {adapt_mode!r}")
@@ -87,15 +132,16 @@ def train_gmm_system(
     # ONE upload: EM and both MAP adaptations share this device buffer —
     # the class split is a 0/1 frame-weight mask, not a second transfer
     # (the host->device link is the scarce resource on tunneled runtimes)
-    if deltas:
-        # Δ/ΔΔ computed ON DEVICE from the uploaded static frames (uploading
-        # the 3F-wide frames would triple the H2D bytes for data the device
-        # can derive with two small GEMMs)
+    feature_fn = make_gmm_feature_fn(deltas=deltas, cmvn=cmvn)
+    if feature_fn is not None:
+        # the transform runs ON DEVICE from the uploaded static frames
+        # (uploading e.g. the 3F-wide delta frames would triple the H2D
+        # bytes for data the device can derive with two small GEMMs)
         seqs = jax.device_put(
             np.ascontiguousarray(np.asarray(train_seqs), dtype=np.float32)
         )
         xd = jax.jit(
-            lambda s: add_sequence_deltas(s).reshape(-1, 3 * s.shape[-1])
+            lambda s: feature_fn(s).reshape(s.shape[0] * s.shape[1], -1)
         )(seqs)
         n_frames = xd.shape[0]
     else:

@@ -177,6 +177,8 @@ def run_surrogate_quality(workdir: str, *, recipe: dict | None = None) -> dict:
         argv.append("--calibrate-llr")
     if r.get("gmm_deltas"):
         argv.append("--gmm-deltas")
+    if r.get("gmm_cmvn"):
+        argv.append("--gmm-cmvn")
     if r.get("augment"):
         argv.append("--augment")
     buf = io.StringIO()

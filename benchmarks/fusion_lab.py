@@ -78,11 +78,19 @@ def main() -> None:
 
         rows = []
         for ncomp in (32, 64, 128):
-            for deltas in (False, True):
+            # cmvn axis added round 5: per-utterance cepstral mean/variance
+            # normalization of the GMM frames — the textbook counter to the
+            # v5 corpus's convolutional channel variation (reverb/bitcrush
+            # are cepstral offsets CMVN cancels; see gmm_system.sequence_cmvn)
+            for deltas, cmvn in (
+                (False, False), (True, False), (False, True), (True, True),
+            ):
                 t0 = time.time()
                 _, g_gen, g_spoof = train_gmm_system(
-                    tr, y_tr, n_components=ncomp, deltas=deltas,
-                    model_dir=os.path.join(workdir, f"gmm_{ncomp}_{int(deltas)}"),
+                    tr, y_tr, n_components=ncomp, deltas=deltas, cmvn=cmvn,
+                    model_dir=os.path.join(
+                        workdir, f"gmm_{ncomp}_{int(deltas)}{int(cmvn)}"
+                    ),
                 )
                 t_gmm = time.time() - t0
                 for mode, weight, calibrate in (
@@ -93,11 +101,12 @@ def main() -> None:
                     gm, fm, cal = _eval_fused_system(
                         result.best_state, g_gen, g_spoof, tr, y_tr, te, y_te,
                         batch_size=r["batch_size"], weight=weight,
-                        calibrate=calibrate, gmm_deltas=deltas,
+                        calibrate=calibrate, gmm_deltas=deltas, gmm_cmvn=cmvn,
                     )
                     fm.pop("_eval_scores", None)
                     rows.append({
-                        "ncomp": ncomp, "deltas": deltas, "mode": mode,
+                        "ncomp": ncomp, "deltas": deltas, "cmvn": cmvn,
+                        "mode": mode,
                         "gmm_eer": gm["eer"], "fused": fm,
                         "scale": round(cal[0], 4), "bias": round(cal[1], 4),
                         "weight": cal[2], "gmm_train_s": round(t_gmm, 1),

@@ -220,6 +220,48 @@ def test_gmm_system_train_and_reload(tmp_path, rng):
     assert float(score(spoof_frames, g_spoof)) > float(score(spoof_frames, g_gen))
 
 
+def test_gmm_feature_fn_cmvn(tmp_path, rng):
+    """cmvn=True trains on per-utterance-normalized frames; the scorer given
+    the SAME feature_fn separates classes that differ only beyond an additive
+    per-utterance channel offset (the transform's whole point)."""
+    import jax.numpy as jnp
+
+    from audioanalysisdetector_tpu.train.gmm_system import (
+        make_gmm_feature_fn,
+        sequence_cmvn,
+    )
+
+    # identity composition
+    assert make_gmm_feature_fn(deltas=False, cmvn=False) is None
+
+    n, t, f = 40, 20, 5
+    seqs = rng.standard_normal((n, t, f)).astype(np.float32)
+    labels = np.array([0] * 20 + [1] * 20)
+    # class signal = per-frame shape difference (scale), NOT a mean offset
+    seqs[labels == 1] *= 2.5
+    # nuisance: random per-utterance channel offset that swamps raw frames
+    seqs += rng.standard_normal((n, 1, f)).astype(np.float32) * 10.0
+
+    norm = np.asarray(sequence_cmvn(jnp.asarray(seqs)))
+    np.testing.assert_allclose(norm.mean(axis=1), 0.0, atol=1e-5)
+    np.testing.assert_allclose(norm.std(axis=1), 1.0, atol=1e-3)
+
+    fn = make_gmm_feature_fn(deltas=True, cmvn=True)
+    out = np.asarray(fn(jnp.asarray(seqs)))
+    assert out.shape == (n, t, 3 * f)
+    np.testing.assert_allclose(out.mean(axis=1), 0.0, atol=1e-4)
+
+    _, g_gen, g_spoof = train_gmm_system(
+        seqs, labels, n_components=4, max_iter=20, cmvn=True,
+        model_dir=str(tmp_path / "gmm_cmvn"),
+    )
+    fn = make_gmm_feature_fn(cmvn=True)
+    gen = jnp.asarray(fn(jnp.asarray(seqs[labels == 0])).reshape(-1, f))
+    spoof = jnp.asarray(fn(jnp.asarray(seqs[labels == 1])).reshape(-1, f))
+    assert float(score(gen, g_gen)) > float(score(gen, g_spoof))
+    assert float(score(spoof, g_spoof)) > float(score(spoof, g_gen))
+
+
 def test_eval_model_orchestration(tmp_path, rng):
     """eval_model loads-or-trains GMMs then runs the batched fused scorer."""
     import jax
