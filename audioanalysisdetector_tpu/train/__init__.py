@@ -20,6 +20,7 @@ from audioanalysisdetector_tpu.train.gmm_system import (
     add_sequence_deltas,
     eval_model,
     load_bilstm_model,
+    load_gmm_feature_fn,
     load_gmm_models,
     make_gmm_feature_fn,
     sequence_cmvn,
@@ -74,6 +75,7 @@ __all__ = [
     "get_loss",
     "add_sequence_deltas",
     "load_bilstm_model",
+    "load_gmm_feature_fn",
     "load_gmm_models",
     "make_gmm_feature_fn",
     "sequence_cmvn",

@@ -10,6 +10,7 @@ single uploaded frame buffer shared by EM and both MAP adaptations.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -189,6 +190,11 @@ def train_gmm_system(
 
     for name, g in (("ubm", ubm), ("gmm_genuine", gmm_genuine), ("gmm_df", gmm_spoof)):
         np.savez(os.path.join(model_dir, f"{name}.npz"), **to_numpy(g))
+    # persist the frame transform NEXT TO the models — a GMM trained on
+    # CMVN/delta frames scored on raw frames diverges silently (wrong
+    # LLRs, no shape error); the loader side recomposes it from this
+    with open(os.path.join(model_dir, "feature_transform.json"), "w") as f:
+        json.dump({"deltas": bool(deltas), "cmvn": bool(cmvn)}, f)
     return ubm, gmm_genuine, gmm_spoof
 
 
@@ -198,6 +204,19 @@ def load_gmm_models(model_dir: str) -> tuple[DiagGMM, DiagGMM, DiagGMM]:
         with np.load(os.path.join(model_dir, f"{name}.npz")) as z:
             out.append(from_numpy({k: z[k] for k in z.files}))
     return tuple(out)
+
+
+def load_gmm_feature_fn(model_dir: str):
+    """Recompose the frame transform the saved GMMs were trained with
+    (``feature_transform.json``, written by :func:`train_gmm_system`).
+    Returns ``None`` for identity — including for model dirs written before
+    the metadata existed, which were all trained on raw frames."""
+    path = os.path.join(model_dir, "feature_transform.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return make_gmm_feature_fn(deltas=d.get("deltas", False), cmvn=d.get("cmvn", False))
 
 
 def load_bilstm_model(model_dir: str, hidden: int = 128, input_dim: int = 19):
@@ -262,6 +281,10 @@ def eval_model(
     )
     if have_saved:
         _, gmm_genuine, gmm_spoof = load_gmm_models(model_dir)
+        # score with the SAME frame transform the saved models were trained
+        # with (identity for this function's own training path below, and
+        # for pre-metadata model dirs)
+        feature_fn = load_gmm_feature_fn(model_dir)
     else:
         if train_seqs is None:
             raise ValueError("train data required to train GMMs when none are saved")
@@ -269,8 +292,12 @@ def eval_model(
             train_seqs, train_labels, n_components=n_components,
             model_dir=model_dir, verbose=verbose,
         )
+        feature_fn = None
     t0 = time.time()
-    scorer = make_fused_scorer(bilstm_apply, bilstm_variables, gmm_genuine, gmm_spoof)
+    scorer = make_fused_scorer(
+        bilstm_apply, bilstm_variables, gmm_genuine, gmm_spoof,
+        gmm_feature_fn=feature_fn,
+    )
     y_true, y_pred, metrics = eval_fused(
         scorer, test_seqs, test_labels, batch_size=batch_size
     )

@@ -54,13 +54,16 @@ RECIPE = dict(
 # noise at SNR~U(6,24) dB, optional low-bit-depth codec round-trip — see
 # data.synthetic.apply_channel) and quadruples the eval set so the EER
 # step drops 1/240 -> 1/960. The GMM config below is the winner of the
-# 18-config fusion_lab sweep ON THIS corpus (FUSION_LAB_v5.json): 128
-# components, NO deltas, the reference's literal 0.5/0.5 sigmoid(LLR)
-# blend (reference/ASV_dl_func.py:1448-1462) — under channel variation the
+# 36-config fusion_lab sweep ON THIS corpus (FUSION_LAB_v5.json): 128
+# components, NO deltas, per-utterance CMVN of the GMM frames, the
+# reference's literal 0.5/0.5 sigmoid(LLR) blend
+# (reference/ASV_dl_func.py:1448-1462). Under channel variation the
 # Δ/ΔΔ frames and Platt calibration that won on the clean v4 corpus both
 # LOSE (deltas amplify channel noise; the calibrator overfits the train
-# channel draw), while the literal blend is best in all 18 cells
-# (fused 0.2302 vs BiLSTM 0.2354 vs GMM 0.2719). The v4 recipe stays
+# channel draw), while CMVN — the textbook counter to convolutional
+# channel offsets (gmm_system.sequence_cmvn) — cuts the arm's solo rank
+# EER 0.2719 -> 0.2427 and the fused EER 0.2302 -> 0.2240 (BiLSTM arm
+# 0.2354; literal blend best in every cell). The v4 recipe stays
 # runnable for trend continuity (quality_eval records both lanes).
 RECIPE_V5 = dict(
     version=5,
@@ -73,7 +76,7 @@ RECIPE_V5 = dict(
         channel="varied",
     ),
     epochs=40, hidden=64, gmm_components=128, batch_size=16, lr=3e-4,
-    gmm_deltas=False, calibrate_llr=False, fusion_weight=0.5,
+    gmm_deltas=False, gmm_cmvn=True, calibrate_llr=False, fusion_weight=0.5,
 )
 
 RECIPES = {4: RECIPE, 5: RECIPE_V5}

@@ -255,7 +255,13 @@ def test_gmm_feature_fn_cmvn(tmp_path, rng):
         seqs, labels, n_components=4, max_iter=20, cmvn=True,
         model_dir=str(tmp_path / "gmm_cmvn"),
     )
-    fn = make_gmm_feature_fn(cmvn=True)
+    # the transform is persisted next to the models and recomposed on load
+    # (a CMVN-trained GMM scored on raw frames diverges silently)
+    from audioanalysisdetector_tpu.train.gmm_system import load_gmm_feature_fn
+
+    fn = load_gmm_feature_fn(str(tmp_path / "gmm_cmvn"))
+    assert fn is not None
+    assert load_gmm_feature_fn(str(tmp_path)) is None  # pre-metadata dirs
     gen = jnp.asarray(fn(jnp.asarray(seqs[labels == 0])).reshape(-1, f))
     spoof = jnp.asarray(fn(jnp.asarray(seqs[labels == 1])).reshape(-1, f))
     assert float(score(gen, g_gen)) > float(score(gen, g_spoof))

@@ -88,11 +88,11 @@ def test_surrogate_quality_recipe_learns(tmp_path):
 @pytest.mark.slow
 def test_surrogate_quality_v5_learns(tmp_path):
     """Recipe v5 (channel-varied corpus, 1920-chunk eval, literal 0.5/0.5
-    fusion with a 128-component no-deltas GMM — the FUSION_LAB_v5.json
-    sweep winner) on the frozen (0, 1) seed pair. Reference values (CPU):
-    bilstm 0.2354, gmm 0.2719, fused 0.2302. The fused-beats-BiLSTM claim
-    is aggregate-guarded across 5 disjoint seed pairs in QUALITY_r05.json
-    (win rate 5/5); this runs one pair end-to-end."""
+    fusion with a 128-component no-deltas CMVN-normalized GMM — the
+    FUSION_LAB_v5.json 36-cell sweep winner) on the frozen (0, 1) seed
+    pair. Reference values (CPU): bilstm 0.2354, gmm 0.2427, fused 0.2240.
+    The fused-beats-BiLSTM claim is aggregate-guarded across 5 disjoint
+    seed pairs in QUALITY_r05.json; this runs one pair end-to-end."""
     from audioanalysisdetector_tpu.train.quality import RECIPE_V5, run_surrogate_quality
 
     metrics = run_surrogate_quality(str(tmp_path), recipe=RECIPE_V5)
